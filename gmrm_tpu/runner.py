@@ -1,0 +1,256 @@
+"""End-to-end training runner: load inputs, run the Gibbs chain, write outputs.
+
+The single-process equivalent of the reference's main()/process() driver
+(``src/main.cpp:8-24``, ``src/bayes.cpp:318-677``): produces the same
+``.csv`` / ``.bet`` / ``.cpn`` artifacts with identical layouts.  Multi-chip
+execution lives in gmrm_tpu.parallel.runner and reuses everything here.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+import numpy as np
+
+from gmrm_tpu.config import Options
+from gmrm_tpu.io.bed import read_bed, bed_bytes_per_marker
+from gmrm_tpu.io.grouping import read_dim, read_group_index
+from gmrm_tpu.io.phen import Phenotype, read_phen
+from gmrm_tpu.io.writers import (
+    HistoryWriter, format_csv_record, write_csv_record,
+)
+from gmrm_tpu.ops.blockops import marker_stats_jax
+from gmrm_tpu.ops.decode import to_phase_planes
+from gmrm_tpu.sampler.dists import beta_11
+from gmrm_tpu.sampler.gibbs import make_gibbs_step
+from gmrm_tpu.sampler.state import (
+    SamplerState, StaticInputs, init_state, pad_bed, pi_prior_from_cva,
+)
+
+
+def round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@dataclass
+class LoadedData:
+    """Host-side preprocessed inputs for one marker shard."""
+    n: int
+    m_total: int
+    m_local: int                 # markers in this shard (after truncation)
+    s_local: int                 # global start of the shard
+    mb: int                      # ceil(N/4)
+    mb_pad: int
+    m_pad: int
+    bed: np.ndarray              # (m_pad, mb_pad) uint8
+    phens: List[Phenotype]
+    eps0: np.ndarray             # (T, 4, mb_pad)
+    na: np.ndarray               # (T, 4, mb_pad)
+    nonas: np.ndarray            # (T,)
+    group_of: np.ndarray         # (m_pad,) int32
+    mtotgrp: np.ndarray          # (G,) int32
+    out_basenames: List[str]
+
+
+def stem(path: str) -> str:
+    return os.path.splitext(os.path.basename(path))[0]
+
+
+def load_data(
+    opt: Options,
+    start_marker: int = 0,
+    n_markers: Optional[int] = None,
+    m_pad: Optional[int] = None,
+    lane_pad: int = 128,
+) -> LoadedData:
+    """Read and preprocess all inputs for one marker shard.
+
+    ``start_marker``/``n_markers`` mirror the reference's per-rank block
+    (bayes.cpp:903-925); the single-device runner uses the whole range.
+    """
+    n, m_total = read_dim(opt.dim_file)
+    if opt.trunc_markers:
+        m_total = min(m_total, opt.trunc_markers)
+    if n_markers is None:
+        n_markers = m_total - start_marker
+
+    mb = bed_bytes_per_marker(n)
+    mb_pad = round_up(mb, lane_pad)
+    if m_pad is None:
+        m_pad = round_up(max(n_markers, 1), opt.block_size)
+
+    bed = read_bed(opt.bed_file, n, m_total, start_marker, n_markers)
+    bed = pad_bed(bed, m_pad, mb_pad)
+
+    phens = [read_phen(fp, n) for fp in opt.phen_files]
+    t = len(phens)
+    eps0 = np.zeros((t, 4, mb_pad))
+    na = np.zeros((t, 4, mb_pad))
+    for i, ph in enumerate(phens):
+        eps0[i, :, :mb] = to_phase_planes(ph.epsilon_padded())
+        na[i, :, :mb] = to_phase_planes(ph.na_vector_padded())
+    nonas = np.array([ph.nonas for ph in phens], dtype=np.float64)
+
+    if opt.group_index_file:
+        gidx_all = read_group_index(opt.group_index_file, opt.n_groups)
+        if gidx_all.shape[0] < m_total:
+            raise IOError(
+                f"group index file has {gidx_all.shape[0]} entries "
+                f"< Mt = {m_total}"
+            )
+        gidx_all = gidx_all[:m_total]
+    else:
+        gidx_all = np.zeros(m_total, dtype=np.int32)
+    group_of = np.zeros(m_pad, dtype=np.int32)
+    group_of[:n_markers] = gidx_all[start_marker:start_marker + n_markers]
+    mtotgrp = np.bincount(gidx_all, minlength=opt.n_groups).astype(np.int32)
+
+    return LoadedData(
+        n=n, m_total=m_total, m_local=n_markers, s_local=start_marker,
+        mb=mb, mb_pad=mb_pad, m_pad=m_pad, bed=bed, phens=phens,
+        eps0=eps0, na=na, nonas=nonas, group_of=group_of, mtotgrp=mtotgrp,
+        out_basenames=[stem(fp) for fp in opt.phen_files],
+    )
+
+
+def build_static(data: LoadedData, opt: Options, dtype) -> StaticInputs:
+    bed = jnp.asarray(data.bed)
+    na = jnp.asarray(data.na, dtype)
+    nonas = jnp.asarray(data.nonas, dtype)
+    mave, msig = marker_stats_jax(bed, na, nonas, dtype=dtype)
+    # Zero out stats on pad rows (all-missing decode gives sb = 0 -> NaN).
+    valid = (jnp.arange(data.m_pad) < data.m_local)[None, :]
+    mave = jnp.where(valid, mave, 0.0)
+    msig = jnp.where(valid, msig, 0.0)
+    return StaticInputs(
+        bed=bed, na=na, mave=mave, msig=msig,
+        group_of=jnp.asarray(data.group_of),
+        mtotgrp=jnp.asarray(data.mtotgrp),
+        nonas=nonas,
+        cva=jnp.asarray(opt.cva, dtype),
+        cvai=jnp.asarray(opt.cvai, dtype),
+        n_total=jnp.asarray(float(data.n), dtype),
+        m_local=jnp.asarray(data.m_local, jnp.int32),
+    )
+
+
+def init_sampler_state(data: LoadedData, opt: Options, dtype) -> SamplerState:
+    key = jr.PRNGKey(opt.seed)
+    k_sg, _ = jr.split(key)
+    t = len(data.phens)
+    g, k = opt.cva.shape
+    # sigmaG ~ Beta(1,1) per group, zeroed for empty groups, identical on
+    # every device (the reference's rank-0 broadcast, bayes.cpp:327-332).
+    sigmag0 = np.asarray(beta_11(k_sg, (t, g), dtype=dtype))
+    sigmag0 = np.where(data.mtotgrp[None, :] == 0, 0.0, sigmag0)
+    return init_state(
+        key, t, data.m_pad, data.mb_pad, g, k,
+        eps0=jnp.asarray(data.eps0, dtype),
+        pi_prior=pi_prior_from_cva(np.asarray(opt.cva)),
+        sigmag0=sigmag0,
+        dtype=dtype,
+    )
+
+
+@dataclass
+class RunResult:
+    state: SamplerState
+    iter_seconds: List[float] = field(default_factory=list)
+    beta_mean: Optional[np.ndarray] = None   # (T, M) posterior mean over thin
+
+
+class OutputSet:
+    """Per-trait .csv/.bet/.cpn writers (reference phenotype.cpp:129-203)."""
+
+    def __init__(self, opt: Options, data: LoadedData):
+        self.enabled = bool(opt.out_dir)
+        self.csv_paths = []
+        self.bet = []
+        self.cpn = []
+        if not self.enabled:
+            return
+        opt.ensure_out_dir()
+        for base in data.out_basenames:
+            b = os.path.join(opt.out_dir, base)
+            csv_path = b + ".csv"
+            if os.path.exists(csv_path):
+                os.remove(csv_path)
+            self.csv_paths.append(csv_path)
+            self.bet.append(HistoryWriter(b + ".bet", data.m_total, "f8"))
+            self.cpn.append(HistoryWriter(b + ".cpn", data.m_total, "i4"))
+
+    def write_thinned(self, rec: int, it: int, state_host, aux_host,
+                      data: LoadedData):
+        if not self.enabled:
+            return
+        sigmag = np.asarray(state_host.sigmag, np.float64)
+        sigmae = np.asarray(state_host.sigmae, np.float64)
+        pi = np.asarray(state_host.pi_est, np.float64)
+        m0 = np.asarray(aux_host.m0)
+        betas = np.asarray(state_host.betas, np.float64)
+        comp = np.asarray(state_host.comp, np.int32)
+        ml, s = data.m_local, data.s_local
+        for ti in range(len(self.bet)):
+            row = format_csv_record(it, sigmag[ti], float(sigmae[ti]),
+                                    int(m0[ti].sum()), pi[ti])
+            write_csv_record(self.csv_paths[ti], rec, row)
+            self.bet[ti].write_record(it, betas[ti, :ml], start=s, rec=rec)
+            self.cpn[ti].write_record(it, comp[ti, :ml], start=s, rec=rec)
+
+
+def run_training(opt: Options, verbose: bool = True) -> RunResult:
+    """The full --process path on the current default device."""
+    opt.validate()
+    if opt.cva is None:
+        opt.load_group_mixtures()
+    dtype = jnp.dtype(opt.dtype)
+
+    data = load_data(opt)
+    static = build_static(data, opt, dtype)
+    state = init_sampler_state(data, opt, dtype)
+
+    use_pallas = opt.use_pallas
+    if use_pallas is None:
+        use_pallas = jax.default_backend() not in ("cpu",)
+    step = make_gibbs_step(block_size=opt.block_size, use_pallas=use_pallas,
+                           donate=True)
+
+    outputs = OutputSet(opt, data)
+    result = RunResult(state=state)
+    beta_acc = np.zeros_like(np.asarray(state.betas, np.float64))
+    n_rec = 0
+
+    for it in range(1, opt.iterations + 1):
+        t0 = time.perf_counter()
+        state, aux = step(state, static, jnp.asarray(it, jnp.int32))
+        if it % opt.output_thin_rate == 0:
+            rec = it // opt.output_thin_rate - 1
+            state_host = jax.device_get(state)
+            aux_host = jax.device_get(aux)
+            outputs.write_thinned(rec, it, state_host, aux_host, data)
+            beta_acc += np.asarray(state_host.betas, np.float64)
+            n_rec += 1
+            if verbose:
+                sg_sum = np.asarray(state_host.sigmag).sum(axis=1)
+                se = np.asarray(state_host.sigmae)
+                for ti in range(sg_sum.shape[0]):
+                    print(
+                        f"RESULT : i:{it} p:{ti}  sum sigmaG = "
+                        f"{sg_sum[ti]:20.15f}  sigmaE = {se[ti]:20.15f}"
+                    )
+        jax.block_until_ready(state.sigmae)
+        dt = time.perf_counter() - t0
+        result.iter_seconds.append(dt)
+        if verbose:
+            print(f"RESULT : It {it}  total proc time = {dt:7.3f} sec")
+
+    result.state = state
+    if n_rec:
+        result.beta_mean = beta_acc / n_rec
+    return result

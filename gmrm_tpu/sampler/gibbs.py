@@ -1,0 +1,198 @@
+"""One full Gibbs iteration, jitted, SPMD-ready.
+
+Structure mirrors the reference outer loop (``src/bayes.cpp:340-671``):
+
+1. intercept step (offset epsilon by old mu, first-iteration sigmaE init,
+   draw new mu, offset back — ``bayes.cpp:348-368``; the mu draw has mean 0
+   because the reference never updates ``epssum``, phenotype.cpp:279-282),
+2. per-device marker permutation (``phenotype.cpp:314-323``),
+3. the marker sweep as a ``lax.scan`` over Gram blocks (exact restructuring
+   of the per-marker loop ``bayes.cpp:375-553``; the cross-rank Allgatherv
+   replay protocol becomes a psum of the block residual delta),
+4. hyperparameter block (``bayes.cpp:562-651``): psum of per-group beta^2
+   and cass, scaled-inverse-chi-squared sigmaG/sigmaE draws, Dirichlet pi,
+   with replicated keys reproducing the reference's rank-0 broadcast.
+
+The iteration index ``it`` is a traced scalar so one compilation serves the
+whole chain.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+
+from gmrm_tpu.config import V0E, S02E, V0G, S02G
+from gmrm_tpu.ops.blockops import block_gram, block_eps_update
+from gmrm_tpu.sampler.dists import inv_scaled_chisq
+from gmrm_tpu.sampler.scan import block_scan
+from gmrm_tpu.sampler.state import SamplerState, StaticInputs
+
+
+class IterAux(NamedTuple):
+    """Per-iteration observables (the .csv row ingredients, xfiles.cpp:17-43)."""
+    m0: jnp.ndarray          # (T, G)
+    e_sqn: jnp.ndarray       # (T,)
+
+
+def _psum(x, axis_name):
+    return jax.lax.psum(x, axis_name) if axis_name else x
+
+
+def gibbs_iteration(
+    state: SamplerState,
+    static: StaticInputs,
+    it: jnp.ndarray,
+    *,
+    block_size: int,
+    axis_name: Optional[str] = None,
+    use_pallas: bool = False,
+):
+    T, _, mb = state.eps.shape
+    m_pad = state.betas.shape[1]
+    G, K = static.cva.shape
+    dtype = state.eps.dtype
+    B = block_size
+    assert m_pad % B == 0, "pad local markers to a multiple of block_size"
+    nblocks = m_pad // B
+
+    it_key = jr.fold_in(state.key, it)
+    k_mu, k_perm, k_u, k_z, k_sg, k_pi, k_se = jr.split(it_key, 7)
+    if axis_name:
+        didx = jax.lax.axis_index(axis_name)
+        k_perm = jr.fold_in(k_perm, didx)
+        k_u = jr.fold_in(k_u, didx)
+        k_z = jr.fold_in(k_z, didx)
+
+    na = static.na
+    nonas = static.nonas.astype(dtype)
+    n_total = static.n_total.astype(dtype)
+
+    # --- 1. intercept step ------------------------------------------------
+    eps = state.eps + state.mu[:, None, None] * na
+    e_sqn0 = jnp.sum(eps * eps, axis=(1, 2))
+    sigmae = jnp.where(it == 1, 0.5 * e_sqn0 / nonas, state.sigmae)
+    z_mu = jr.normal(k_mu, (T,), dtype)
+    mu_new = state.epssum / nonas + jnp.sqrt(sigmae / nonas) * z_mu
+    eps = eps - mu_new[:, None, None] * na
+
+    # --- 2. shuffled processing order ------------------------------------
+    # Uniform shuffle of the real markers with pad slots pinned to the end
+    # (supports per-device remainder markers under a common nblocks, the
+    # reference's Mm idle-step scheme, bayes.cpp:375-382).
+    r = jr.uniform(k_perm, (m_pad,))
+    r = jnp.where(jnp.arange(m_pad) < static.m_local, r, 2.0)
+    perm = jnp.argsort(r)
+    blocks = perm.reshape(nblocks, B)
+
+    u_all = jr.uniform(k_u, (nblocks, T, B), dtype)
+    z_all = jr.normal(k_z, (nblocks, T, B), dtype)
+
+    gram_fn = block_gram
+    upd_fn = block_eps_update
+    if use_pallas:
+        from gmrm_tpu.ops.pallas_kernels import (
+            block_gram_pallas, block_eps_update_pallas,
+        )
+        gram_fn = block_gram_pallas
+        upd_fn = block_eps_update_pallas
+
+    # --- 3. marker sweep over Gram blocks --------------------------------
+    def block_body(carry, xs):
+        eps, betas, comp, acum, cass = carry
+        idx, u_blk, z_blk = xs
+
+        bed_blk = jnp.take(static.bed, idx, axis=0)
+        mave_blk = jnp.take(static.mave, idx, axis=1)
+        msig_blk = jnp.take(static.msig, idx, axis=1)
+        grp_blk = jnp.take(static.group_of, idx)
+        valid_blk = idx < static.m_local
+        beta_old = jnp.take(betas, idx, axis=1)
+        comp_old = jnp.take(comp, idx, axis=1)
+        acum_old = jnp.take(acum, idx, axis=1)
+
+        craw, graw = gram_fn(bed_blk, eps, na, mave_blk, dtype=dtype)
+        c = msig_blk * craw
+        gs = msig_blk[:, :, None] * msig_blk[:, None, :] * graw
+
+        res = block_scan(
+            c, gs, beta_old, comp_old, acum_old, grp_blk, valid_blk,
+            u_blk, z_blk, state.sigmag, sigmae, state.pi_est,
+            static.cva, static.cvai, nonas, n_total,
+        )
+
+        deps = upd_fn(bed_blk, msig_blk * res.dbeta_eff, na, mave_blk,
+                      dtype=dtype)
+        deps = _psum(deps, axis_name)
+        eps = eps + deps
+
+        betas = betas.at[:, idx].set(res.beta_new)
+        comp = comp.at[:, idx].set(res.comp_new)
+        acum = acum.at[:, idx].set(res.acum_new)
+        cass = cass + res.cass_inc
+        return (eps, betas, comp, acum, cass), None
+
+    cass0 = jnp.zeros_like(state.cass)
+    (eps, betas, comp, acum, cass_local), _ = jax.lax.scan(
+        block_body,
+        (eps, state.betas, state.comp, state.acum, cass0),
+        (blocks, u_all, z_all),
+    )
+
+    # --- 4. hyperparameter block -----------------------------------------
+    beta_sqn_local = jax.ops.segment_sum(
+        (betas * betas).T, static.group_of, num_segments=G
+    ).T                                                    # (T, G)
+    beta_sqn = _psum(beta_sqn_local, axis_name)
+    cass = _psum(cass_local, axis_name)
+
+    mtotgrp = static.mtotgrp.astype(dtype)                 # (G,)
+    m0 = jnp.where(static.mtotgrp > 0,
+                   static.mtotgrp - cass[:, :, 0], 0)      # (T, G) int
+    m0f = m0.astype(dtype)
+    cass_sum = jnp.sum(cass, axis=2)                       # (T, G)
+    active = (static.mtotgrp[None, :] > 0) & (m0 > 0) & (cass_sum > 0)
+
+    a_g = V0G + m0f
+    b_g = (beta_sqn * m0f + V0G * S02G) / jnp.maximum(a_g, 1e-30)
+    sg_draw = inv_scaled_chisq(k_sg, a_g, jnp.maximum(b_g, 1e-30), dtype=dtype)
+    sigmag_new = jnp.where(
+        static.mtotgrp[None, :] > 0,
+        jnp.where(active, sg_draw, jnp.asarray(0.0, dtype)),
+        state.sigmag,
+    )
+
+    alpha = cass.astype(dtype) + 1.0                       # dirich = 1
+    g_draw = jr.gamma(k_pi, alpha, dtype=dtype)            # (T, G, K)
+    pi_draw = g_draw / jnp.sum(g_draw, axis=-1, keepdims=True)
+    pi_new = jnp.where(active[:, :, None], pi_draw, state.pi_est)
+
+    e_sqn = jnp.sum(eps * eps, axis=(1, 2))
+    sigmae_new = inv_scaled_chisq(
+        k_se, V0E + n_total, (e_sqn + V0E * S02E) / (V0E + n_total),
+        dtype=dtype,
+    )
+
+    new_state = state.replace(
+        eps=eps, betas=betas, comp=comp, acum=acum, cass=cass,
+        sigmag=sigmag_new, sigmae=sigmae_new, pi_est=pi_new, mu=mu_new,
+    )
+    return new_state, IterAux(m0=m0, e_sqn=e_sqn)
+
+
+def make_gibbs_step(*, block_size: int, axis_name: Optional[str] = None,
+                    use_pallas: bool = False, donate: bool = True):
+    """Jitted single-iteration step (state, static, it) -> (state, aux).
+
+    ``static`` is a regular argument (not a closure constant) so the bed
+    matrix stays a device-resident input rather than a baked-in literal.
+    """
+    fn = functools.partial(
+        gibbs_iteration, block_size=block_size, axis_name=axis_name,
+        use_pallas=use_pallas,
+    )
+    return jax.jit(fn, donate_argnums=(0,) if donate else ())

@@ -1,0 +1,50 @@
+"""Test harness config: force an 8-device virtual CPU mesh before JAX loads.
+
+This is the TPU-world analog of testing the reference's multi-rank MPI
+semantics without a cluster (SURVEY §4): all sharding tests run on
+xla_force_host_platform_device_count=8.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/gmrm_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(171014)
+
+
+@pytest.fixture(scope="session")
+def sim_small(tmp_path_factory):
+    """Small simulated dataset shared across tests."""
+    from gmrm_tpu.io.sim import simulate
+
+    out = tmp_path_factory.mktemp("sim_small")
+    return simulate(
+        str(out), n=402, m=96, n_traits=2, n_causal=24, h2=0.5,
+        n_groups=2, na_rate=0.03, seed=20260817,
+    )
+
+
+@pytest.fixture(scope="session")
+def sim_tiny(tmp_path_factory):
+    from gmrm_tpu.io.sim import simulate
+
+    out = tmp_path_factory.mktemp("sim_tiny")
+    return simulate(
+        str(out), n=57, m=24, n_traits=1, n_causal=8, h2=0.5,
+        n_groups=1, na_rate=0.0, seed=7,
+    )
