@@ -43,6 +43,76 @@ def _psum(x, axis_name):
     return jax.lax.psum(x, axis_name) if axis_name else x
 
 
+def marker_sweep(
+    eps, betas, comp, acum,
+    sigmag, sigmae, pi_est,
+    static: StaticInputs,
+    blocks,                 # (nblocks, B) processing order (local indices)
+    u_all,                  # (nblocks, T, B) uniforms
+    z_all,                  # (nblocks, T, B) std normals
+    *,
+    axis_name: Optional[str] = None,
+    use_pallas: bool = False,
+):
+    """The full marker sweep (reference loop bayes.cpp:375-553) over Gram
+    blocks, with all randomness injected — directly comparable to the NumPy
+    serial oracle.  Returns (eps, betas, comp, acum, cass_local)."""
+    na = static.na
+    nonas = static.nonas.astype(eps.dtype)
+    n_total = static.n_total.astype(eps.dtype)
+    dtype = eps.dtype
+
+    gram_fn = block_gram
+    upd_fn = block_eps_update
+    if use_pallas:
+        from gmrm_tpu.ops.pallas_kernels import (
+            block_gram_pallas, block_eps_update_pallas,
+        )
+        gram_fn = block_gram_pallas
+        upd_fn = block_eps_update_pallas
+
+    def block_body(carry, xs):
+        eps, betas, comp, acum, cass = carry
+        idx, u_blk, z_blk = xs
+
+        bed_blk = jnp.take(static.bed, idx, axis=0)
+        mave_blk = jnp.take(static.mave, idx, axis=1)
+        msig_blk = jnp.take(static.msig, idx, axis=1)
+        grp_blk = jnp.take(static.group_of, idx)
+        valid_blk = idx < static.m_local
+        beta_old = jnp.take(betas, idx, axis=1)
+        comp_old = jnp.take(comp, idx, axis=1)
+        acum_old = jnp.take(acum, idx, axis=1)
+
+        craw, graw = gram_fn(bed_blk, eps, na, mave_blk, dtype=dtype)
+        c = msig_blk * craw
+        gs = msig_blk[:, :, None] * msig_blk[:, None, :] * graw
+
+        res = block_scan(
+            c, gs, beta_old, comp_old, acum_old, grp_blk, valid_blk,
+            u_blk, z_blk, sigmag, sigmae, pi_est,
+            static.cva, static.cvai, nonas, n_total,
+        )
+
+        deps = upd_fn(bed_blk, msig_blk * res.dbeta_eff, na, mave_blk,
+                      dtype=dtype)
+        deps = _psum(deps, axis_name)
+        eps = eps + deps
+
+        betas = betas.at[:, idx].set(res.beta_new)
+        comp = comp.at[:, idx].set(res.comp_new)
+        acum = acum.at[:, idx].set(res.acum_new)
+        cass = cass + res.cass_inc
+        return (eps, betas, comp, acum, cass), None
+
+    cass0 = jnp.zeros((betas.shape[0],) + static.cva.shape, jnp.int32)
+    (eps, betas, comp, acum, cass_local), _ = jax.lax.scan(
+        block_body, (eps, betas, comp, acum, cass0),
+        (blocks, u_all, z_all),
+    )
+    return eps, betas, comp, acum, cass_local
+
+
 def gibbs_iteration(
     state: SamplerState,
     static: StaticInputs,
@@ -92,55 +162,12 @@ def gibbs_iteration(
     u_all = jr.uniform(k_u, (nblocks, T, B), dtype)
     z_all = jr.normal(k_z, (nblocks, T, B), dtype)
 
-    gram_fn = block_gram
-    upd_fn = block_eps_update
-    if use_pallas:
-        from gmrm_tpu.ops.pallas_kernels import (
-            block_gram_pallas, block_eps_update_pallas,
-        )
-        gram_fn = block_gram_pallas
-        upd_fn = block_eps_update_pallas
-
     # --- 3. marker sweep over Gram blocks --------------------------------
-    def block_body(carry, xs):
-        eps, betas, comp, acum, cass = carry
-        idx, u_blk, z_blk = xs
-
-        bed_blk = jnp.take(static.bed, idx, axis=0)
-        mave_blk = jnp.take(static.mave, idx, axis=1)
-        msig_blk = jnp.take(static.msig, idx, axis=1)
-        grp_blk = jnp.take(static.group_of, idx)
-        valid_blk = idx < static.m_local
-        beta_old = jnp.take(betas, idx, axis=1)
-        comp_old = jnp.take(comp, idx, axis=1)
-        acum_old = jnp.take(acum, idx, axis=1)
-
-        craw, graw = gram_fn(bed_blk, eps, na, mave_blk, dtype=dtype)
-        c = msig_blk * craw
-        gs = msig_blk[:, :, None] * msig_blk[:, None, :] * graw
-
-        res = block_scan(
-            c, gs, beta_old, comp_old, acum_old, grp_blk, valid_blk,
-            u_blk, z_blk, state.sigmag, sigmae, state.pi_est,
-            static.cva, static.cvai, nonas, n_total,
-        )
-
-        deps = upd_fn(bed_blk, msig_blk * res.dbeta_eff, na, mave_blk,
-                      dtype=dtype)
-        deps = _psum(deps, axis_name)
-        eps = eps + deps
-
-        betas = betas.at[:, idx].set(res.beta_new)
-        comp = comp.at[:, idx].set(res.comp_new)
-        acum = acum.at[:, idx].set(res.acum_new)
-        cass = cass + res.cass_inc
-        return (eps, betas, comp, acum, cass), None
-
-    cass0 = jnp.zeros_like(state.cass)
-    (eps, betas, comp, acum, cass_local), _ = jax.lax.scan(
-        block_body,
-        (eps, state.betas, state.comp, state.acum, cass0),
-        (blocks, u_all, z_all),
+    eps, betas, comp, acum, cass_local = marker_sweep(
+        eps, state.betas, state.comp, state.acum,
+        state.sigmag, sigmae, state.pi_est,
+        static, blocks, u_all, z_all,
+        axis_name=axis_name, use_pallas=use_pallas,
     )
 
     # --- 4. hyperparameter block -----------------------------------------
