@@ -1,0 +1,114 @@
+"""Command-line interface mirroring the reference's flag surface.
+
+Flags (reference ``src/options.cpp:26-151``): --bed-file --dim-file
+--phen-files --group-index-file --group-mixture-file --verbosity
+--shuffle-markers --mimic-hydra --seed --iterations --trunc-markers --S
+--out-dir --output-thin-rate --predict --bim-file --ref-bim-file, plus
+TPU-native knobs (--block-size --dtype --devices --use-pallas).
+
+``--S`` is accepted and ignored, like the reference (parsed but unused by
+the sampler; options.cpp:105-118).  ``--mimic-hydra`` enforces the single-
+phenotype restriction; bit-matching boost RNG streams is out of scope
+(SURVEY §7), so it otherwise behaves as a determinism mode.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from gmrm_tpu.config import Options, OptionsError
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="gmrm-tpu",
+        description="TPU-native Bayesian grouped mixture-of-regressions "
+                    "(BayesR) Gibbs sampler for GWAS",
+    )
+    p.add_argument("--bed-file", default="")
+    p.add_argument("--dim-file", default="")
+    p.add_argument("--phen-files", default="",
+                   help="comma-separated list of .phen files")
+    p.add_argument("--group-index-file", default="")
+    p.add_argument("--group-mixture-file", default="")
+    p.add_argument("--verbosity", type=int, default=0)
+    p.add_argument("--shuffle-markers", type=int, default=1)
+    p.add_argument("--mimic-hydra", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--iterations", type=int, default=1)
+    p.add_argument("--trunc-markers", type=int, default=0)
+    p.add_argument("--S", default="", help="accepted for compatibility; unused")
+    p.add_argument("--out-dir", default="")
+    p.add_argument("--output-thin-rate", type=int, default=1)
+    p.add_argument("--predict", action="store_true")
+    p.add_argument("--bim-file", default="")
+    p.add_argument("--ref-bim-file", default="")
+    # TPU-native knobs
+    p.add_argument("--block-size", type=int, default=256,
+                   help="markers per Gram block (residual sync cadence)")
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "float64"])
+    p.add_argument("--devices", type=int, default=0,
+                   help="number of devices for the marker mesh (0 = all)")
+    p.add_argument("--use-pallas", type=int, default=-1,
+                   help="-1 auto, 0 off, 1 on")
+    return p
+
+
+def options_from_args(args) -> Options:
+    return Options(
+        bed_file=args.bed_file,
+        dim_file=args.dim_file,
+        phen_files=[f for f in args.phen_files.split(",") if f],
+        group_index_file=args.group_index_file,
+        group_mixture_file=args.group_mixture_file,
+        bim_file=args.bim_file,
+        ref_bim_file=args.ref_bim_file,
+        verbosity=args.verbosity,
+        shuffle_markers=bool(args.shuffle_markers),
+        mimic_hydra=args.mimic_hydra,
+        seed=args.seed,
+        iterations=args.iterations,
+        trunc_markers=args.trunc_markers,
+        out_dir=args.out_dir,
+        output_thin_rate=args.output_thin_rate,
+        predict=args.predict,
+        block_size=args.block_size,
+        dtype=args.dtype,
+        n_devices=args.devices,
+        use_pallas=None if args.use_pallas < 0 else bool(args.use_pallas),
+    )
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    opt = options_from_args(args)
+    try:
+        opt.validate()
+        if not opt.predict and opt.group_mixture_file:
+            opt.load_group_mixtures()
+    except OptionsError as e:
+        print(f"FATAL  : {e}", file=sys.stderr)
+        return 1
+
+    import jax
+
+    if opt.predict:
+        from gmrm_tpu.predict import run_predict
+        run_predict(opt)
+        return 0
+
+    n_dev = opt.n_devices or len(jax.devices())
+    if n_dev > 1:
+        from gmrm_tpu.parallel.runner import run_training_sharded
+        run_training_sharded(opt, n_devices=opt.n_devices,
+                             verbose=opt.verbosity >= 0)
+    else:
+        from gmrm_tpu.runner import run_training
+        run_training(opt, verbose=opt.verbosity >= 0)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

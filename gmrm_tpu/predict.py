@@ -1,0 +1,158 @@
+"""Posterior prediction / association statistics (the reference's
+``--predict`` mode, ``src/bayes.cpp:16-284``).
+
+Per phenotype:
+
+1. read the ``.bet`` chain written by training, average over iterations;
+2. genetic values g = X_std @ beta_mean over markers present in the
+   reference panel bim (``bayes.cpp:93-125``);
+3. residualize: y_k = y_centered_scaled - (g - g_k) — with a single shard
+   g_k == g so y_k == y, exactly the reference's 1-rank behavior
+   (``bayes.cpp:138-147``); sigma = sum(y_k^2)/nonas;
+4. per-marker OLS on *uncentered* dosages (a*b*na — a faithful reference
+   quirk, ``bayes.cpp:191-205``): beta = xty/xtx, t = xty/sqrt(sigma*xtx),
+   se = beta/t, p = 1 - P(1/2, t^2/2);
+5. fixed-width ``.mlma`` lines, markers absent from the reference bim
+   excluded (``bayes.cpp:223-254``).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gmrm_tpu.config import Options
+from gmrm_tpu.io.bed import read_bed
+from gmrm_tpu.io.bim import read_bim_ids, bim_id_index
+from gmrm_tpu.io.grouping import read_dim
+from gmrm_tpu.io.phen import read_phen
+from gmrm_tpu.io.writers import read_history, format_mlma_line
+from gmrm_tpu.ops.decode import decode_planes_jax, to_phase_planes
+from gmrm_tpu.ops.blockops import marker_stats_jax, _PREC
+from gmrm_tpu.runner import stem
+
+
+def _chunked_predict_sums(bed, na, mave, msig, beta_mean, y_planes,
+                          keep, dtype=jnp.float32, chunk=512):
+    """One fused pass: g = sum_j keep_j*beta_j*x_std_j  and per-marker
+    (xtx, xty) on uncentered dosages against y_k."""
+    m, mb = bed.shape
+
+    def body(carry, xs):
+        g_acc = carry
+        bed_c, mave_c, msig_c, beta_c, keep_c = xs
+        a, b = decode_planes_jax(bed_c, dtype=dtype)       # (chunk, 4, mb)
+        xstd = (a - mave_c[:, None, None] * b) * na[None] * \
+            msig_c[:, None, None]                          # (chunk, 4, mb)
+        w = beta_c * keep_c
+        g_acc = g_acc + jnp.einsum("c,ckm->km", w, xstd,
+                                   preferred_element_type=dtype,
+                                   precision=_PREC)
+        val = a * b * na[None]                             # uncentered dosage
+        xtx = jnp.einsum("ckm,ckm->c", val, val,
+                         preferred_element_type=dtype, precision=_PREC)
+        xty = jnp.einsum("ckm,km->c", val, y_planes,
+                         preferred_element_type=dtype, precision=_PREC)
+        return g_acc, (xtx, xty)
+
+    n_chunks = -(-m // chunk)
+    m_pad = n_chunks * chunk
+    pad = m_pad - m
+
+    def padm(x, fill=0):
+        return jnp.concatenate(
+            [jnp.asarray(x), jnp.full((pad,) + np.shape(x)[1:], fill,
+                                      jnp.asarray(x).dtype)])
+
+    bed_p = jnp.concatenate(
+        [jnp.asarray(bed),
+         jnp.full((pad, mb), 0x55, jnp.uint8)]).reshape(n_chunks, chunk, mb)
+    xs = (
+        bed_p,
+        padm(mave).reshape(n_chunks, chunk).astype(dtype),
+        padm(msig).reshape(n_chunks, chunk).astype(dtype),
+        padm(beta_mean).reshape(n_chunks, chunk).astype(dtype),
+        padm(keep.astype(np.float32)).reshape(n_chunks, chunk).astype(dtype),
+    )
+    g0 = jnp.zeros(na.shape, dtype)
+    g, (xtx, xty) = jax.lax.scan(body, g0, xs)
+    return g, xtx.reshape(-1)[:m], xty.reshape(-1)[:m]
+
+
+def run_predict(opt: Options, verbose: bool = True):
+    """Produce <out_dir>/<phen-stem>.mlma for every phenotype."""
+    opt.validate()
+    n, m_total = read_dim(opt.dim_file)
+    if opt.trunc_markers:
+        m_total = min(m_total, opt.trunc_markers)
+    rsid = read_bim_ids(opt.bim_file)
+    ref_idx = bim_id_index(opt.ref_bim_file)
+
+    bed = read_bed(opt.bed_file, n, m_total)
+    mb = bed.shape[1]
+    dtype = jnp.dtype(opt.dtype)
+
+    for phen_path in opt.phen_files:
+        ph = read_phen(phen_path, n)
+        base = os.path.join(opt.out_dir, stem(phen_path))
+        bet_path = base + ".bet"
+        iters, chain = read_history(bet_path, "f8")
+        if chain.shape[1] != len(ref_idx):
+            raise IOError(
+                f"Mismatch between expected and Mtot read from .bet file: "
+                f"{len(ref_idx)} vs {chain.shape[1]}"
+            )
+        niter = chain.shape[0]
+        if verbose:
+            print(f"INFO   : Number of recorded iterations in .bet file: "
+                  f"{niter}")
+        beta_mean = chain.mean(axis=0)                      # (Mtot,)
+
+        na = jnp.asarray(to_phase_planes(ph.na_vector_padded()), dtype)
+        mave, msig = marker_stats_jax(
+            jnp.asarray(bed), na[None],
+            jnp.asarray([ph.nonas], dtype), dtype=dtype)
+        mave = np.asarray(mave)[0]
+        msig = np.asarray(msig)[0]
+
+        # Markers present in the reference panel; beta indexed by the
+        # *current* global marker index (bayes.cpp:122 uses mglo).
+        keep = np.array([rid in ref_idx for rid in rsid[:m_total]])
+        rmglo = np.array([ref_idx.get(rid, -1) for rid in rsid[:m_total]])
+
+        y = ph.epsilon_padded()                             # centered+scaled
+        y_planes = jnp.asarray(to_phase_planes(y), dtype)
+
+        g, xtx, xty = _chunked_predict_sums(
+            bed, na, mave, msig, beta_mean[:m_total], y_planes, keep,
+            dtype=dtype)
+        # Single shard: g_k == g, so y_k = y (reference 1-rank behavior).
+        sigma = float(np.asarray(y) @ np.asarray(y)) / ph.nonas
+
+        xtx = np.asarray(xtx, np.float64)
+        xty = np.asarray(xty, np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            beta = xty / xtx
+            tdist = xty / np.sqrt(sigma * xtx)
+            se = beta / tdist
+        pval = 1.0 - np.asarray(
+            jax.scipy.special.gammainc(0.5, tdist ** 2 * 0.5))
+
+        mlma_path = base + ".mlma"
+        if os.path.exists(mlma_path):
+            os.remove(mlma_path)
+        n_rem = 0
+        with open(mlma_path, "w") as fh:
+            for j in range(m_total):
+                if not keep[j]:
+                    print(f"WARNING: marker id {rsid[j]} excluded -- no match")
+                    n_rem += 1
+                    continue
+                fh.write(format_mlma_line(
+                    rsid[j], j, int(rmglo[j]), beta[j], tdist[j], se[j],
+                    pval[j]))
+        if verbose:
+            print(f"INFO   : wrote {m_total - n_rem} markers to {mlma_path}")

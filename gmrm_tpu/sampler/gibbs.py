@@ -92,6 +92,7 @@ def marker_sweep(
             c, gs, beta_old, comp_old, acum_old, grp_blk, valid_blk,
             u_blk, z_blk, sigmag, sigmae, pi_est,
             static.cva, static.cvai, nonas, n_total,
+            axis_name=axis_name,
         )
 
         deps = upd_fn(bed_blk, msig_blk * res.dbeta_eff, na, mave_blk,
@@ -106,6 +107,8 @@ def marker_sweep(
         return (eps, betas, comp, acum, cass), None
 
     cass0 = jnp.zeros((betas.shape[0],) + static.cva.shape, jnp.int32)
+    if axis_name is not None:
+        cass0 = jax.lax.pcast(cass0, (axis_name,), to='varying')
     (eps, betas, comp, acum, cass_local), _ = jax.lax.scan(
         block_body, (eps, betas, comp, acum, cass0),
         (blocks, u_all, z_all),

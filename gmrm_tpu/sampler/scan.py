@@ -47,6 +47,7 @@ def block_scan(
     cvai,         # (G, K)
     nonas,        # (T,)
     n_total,      # () float
+    axis_name=None,  # mesh axis when running under shard_map (vma tracking)
 ) -> BlockScanResult:
     T, B = c.shape
     G, K = cva.shape
@@ -163,6 +164,10 @@ def block_scan(
         jnp.zeros((T, B), dtype),
         jnp.zeros((T,) + cva.shape, jnp.int32),
     )
+    if axis_name is not None:
+        # Under shard_map the carries become device-varying (they absorb
+        # per-shard draws); mark the fresh zeros accordingly.
+        init = jax.tree.map(lambda x: jax.lax.pcast(x, (axis_name,), to='varying'), init)
     (dbeta_vec, cass_inc), (beta_new, comp_new, acum_new) = jax.lax.scan(
         step_indexed, init, xs
     )
