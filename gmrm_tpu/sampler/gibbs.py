@@ -64,12 +64,15 @@ def marker_sweep(
 
     gram_fn = block_gram
     upd_fn = block_eps_update
+    scan_fn = block_scan
     if use_pallas:
         from gmrm_tpu.ops.pallas_kernels import (
             block_gram_pallas, block_eps_update_pallas,
         )
+        from gmrm_tpu.ops.scan_kernel import block_scan_pallas
         gram_fn = block_gram_pallas
         upd_fn = block_eps_update_pallas
+        scan_fn = block_scan_pallas
 
     def block_body(carry, xs):
         eps, betas, comp, acum, cass = carry
@@ -88,7 +91,7 @@ def marker_sweep(
         c = msig_blk * craw
         gs = msig_blk[:, :, None] * msig_blk[:, None, :] * graw
 
-        res = block_scan(
+        res = scan_fn(
             c, gs, beta_old, comp_old, acum_old, grp_blk, valid_blk,
             u_blk, z_blk, sigmag, sigmae, pi_est,
             static.cva, static.cvai, nonas, n_total,
