@@ -53,6 +53,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="number of devices for the marker mesh (0 = all)")
     p.add_argument("--use-pallas", type=int, default=-1,
                    help="-1 auto, 0 off, 1 on")
+    p.add_argument("--checkpoint-every", type=int, default=0,
+                   help="save a resumable chain checkpoint every N "
+                        "iterations (0 = off; improvement over the "
+                        "reference, which cannot resume)")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from <out-dir>/checkpoint.npz if present")
     return p
 
 
@@ -78,6 +84,8 @@ def options_from_args(args) -> Options:
         dtype=args.dtype,
         n_devices=args.devices,
         use_pallas=None if args.use_pallas < 0 else bool(args.use_pallas),
+        checkpoint_every=args.checkpoint_every,
+        resume=args.resume,
     )
 
 

@@ -38,6 +38,18 @@ class HistoryWriter:
         with open(path, "wb") as fh:
             fh.write(struct.pack("<I", m_total))
 
+    @classmethod
+    def open_existing(cls, path: str, m_total: int, kind: str):
+        """Attach to an existing history file without truncating (resume)."""
+        w = cls.__new__(cls)
+        w.path = path
+        w.m_total = m_total
+        w.dtype = np.dtype(_DTYPES[kind])
+        w.itemsize = w.dtype.itemsize
+        size = os.path.getsize(path)
+        w._rec = max(0, (size - 4) // (4 + m_total * w.itemsize))
+        return w
+
     def _rec_offset(self, rec: int) -> int:
         return 4 + rec * (4 + self.m_total * self.itemsize)
 

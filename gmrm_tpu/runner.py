@@ -166,9 +166,13 @@ class RunResult:
 
 
 class OutputSet:
-    """Per-trait .csv/.bet/.cpn writers (reference phenotype.cpp:129-203)."""
+    """Per-trait .csv/.bet/.cpn writers (reference phenotype.cpp:129-203).
 
-    def __init__(self, opt: Options, data: LoadedData):
+    ``resume=True`` keeps existing files and appends records instead of the
+    reference's delete-then-create-EXCL behavior.
+    """
+
+    def __init__(self, opt: Options, data: LoadedData, resume: bool = False):
         self.enabled = bool(opt.out_dir)
         self.csv_paths = []
         self.bet = []
@@ -179,11 +183,17 @@ class OutputSet:
         for base in data.out_basenames:
             b = os.path.join(opt.out_dir, base)
             csv_path = b + ".csv"
-            if os.path.exists(csv_path):
+            if not resume and os.path.exists(csv_path):
                 os.remove(csv_path)
             self.csv_paths.append(csv_path)
-            self.bet.append(HistoryWriter(b + ".bet", data.m_total, "f8"))
-            self.cpn.append(HistoryWriter(b + ".cpn", data.m_total, "i4"))
+            if resume and os.path.exists(b + ".bet"):
+                self.bet.append(HistoryWriter.open_existing(
+                    b + ".bet", data.m_total, "f8"))
+                self.cpn.append(HistoryWriter.open_existing(
+                    b + ".cpn", data.m_total, "i4"))
+            else:
+                self.bet.append(HistoryWriter(b + ".bet", data.m_total, "f8"))
+                self.cpn.append(HistoryWriter(b + ".cpn", data.m_total, "i4"))
 
     def write_thinned(self, rec: int, it: int, state_host, aux_host,
                       data: LoadedData):
@@ -221,12 +231,29 @@ def run_training(opt: Options, verbose: bool = True) -> RunResult:
     step = make_gibbs_step(block_size=opt.block_size, use_pallas=use_pallas,
                            donate=True)
 
-    outputs = OutputSet(opt, data)
-    result = RunResult(state=state)
     beta_acc = np.zeros_like(np.asarray(state.betas, np.float64))
     n_rec = 0
+    start_it = 1
+    ckpt = None
+    if opt.out_dir and (opt.checkpoint_every or opt.resume):
+        from gmrm_tpu.checkpoint import (
+            checkpoint_path, save_checkpoint, load_checkpoint,
+        )
+        opt.ensure_out_dir()
+        ckpt = checkpoint_path(opt.out_dir)
+    resuming = bool(opt.resume and ckpt and os.path.exists(ckpt))
+    if resuming:
+        state, last_it, acc, n_rec = load_checkpoint(ckpt, dtype)
+        if acc is not None:
+            beta_acc = acc
+        start_it = last_it + 1
+        if verbose:
+            print(f"INFO   : resuming from checkpoint at iteration {last_it}")
 
-    for it in range(1, opt.iterations + 1):
+    outputs = OutputSet(opt, data, resume=resuming)
+    result = RunResult(state=state)
+
+    for it in range(start_it, opt.iterations + 1):
         t0 = time.perf_counter()
         state, aux = step(state, static, jnp.asarray(it, jnp.int32))
         if it % opt.output_thin_rate == 0:
@@ -249,6 +276,8 @@ def run_training(opt: Options, verbose: bool = True) -> RunResult:
         result.iter_seconds.append(dt)
         if verbose:
             print(f"RESULT : It {it}  total proc time = {dt:7.3f} sec")
+        if ckpt and opt.checkpoint_every and it % opt.checkpoint_every == 0:
+            save_checkpoint(ckpt, jax.device_get(state), it, beta_acc, n_rec)
 
     result.state = state
     if n_rec:
