@@ -102,19 +102,23 @@ def main(argv=None) -> int:
 
     import jax
 
-    if opt.predict:
-        from gmrm_tpu.predict import run_predict
-        run_predict(opt)
-        return 0
+    try:
+        if opt.predict:
+            from gmrm_tpu.predict import run_predict
+            run_predict(opt)
+            return 0
 
-    n_dev = opt.n_devices or len(jax.devices())
-    if n_dev > 1:
-        from gmrm_tpu.parallel.runner import run_training_sharded
-        run_training_sharded(opt, n_devices=opt.n_devices,
-                             verbose=opt.verbosity >= 0)
-    else:
-        from gmrm_tpu.runner import run_training
-        run_training(opt, verbose=opt.verbosity >= 0)
+        n_dev = opt.n_devices or len(jax.devices())
+        if n_dev > 1:
+            from gmrm_tpu.parallel.runner import run_training_sharded
+            run_training_sharded(opt, n_devices=opt.n_devices,
+                                 verbose=opt.verbosity >= 0)
+        else:
+            from gmrm_tpu.runner import run_training
+            run_training(opt, verbose=opt.verbosity >= 0)
+    except OptionsError as e:
+        print(f"FATAL  : {e}", file=sys.stderr)
+        return 1
     return 0
 
 

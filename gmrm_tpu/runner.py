@@ -221,8 +221,22 @@ def run_training(opt: Options, verbose: bool = True) -> RunResult:
         opt.load_group_mixtures()
     dtype = jnp.dtype(opt.dtype)
 
+    # Phase timing mirrors the reference's self-instrumentation
+    # (genotype load bayes.cpp:897, marker stats bayes.cpp:790-792).
+    t0 = time.perf_counter()
     data = load_data(opt)
+    if verbose:
+        print(f"INFO   : time to load genotype + phenotype data = "
+              f"{time.perf_counter() - t0:.2f} seconds.")
+        for ph in data.phens:
+            print(f"INFO   : {ph.filepath} has {ph.nas} NAs and "
+                  f"{ph.nonas} non-NAs.")
+    t0 = time.perf_counter()
     static = build_static(data, opt, dtype)
+    jax.block_until_ready(static.msig)
+    if verbose:
+        print(f"INFO   : time to compute the markers' statistics: "
+              f"{time.perf_counter() - t0:.2f} seconds.")
     state = init_sampler_state(data, opt, dtype)
 
     use_pallas = opt.use_pallas
