@@ -13,9 +13,23 @@ hot loops: dot product ``src/bayes.cpp:709-770``, rank-1 residual update
   one matvec ``eps += Xc^T @ (msig*dbeta) * na``.
 - ``marker_stats_jax``: one fused pass for per-marker mean / inverse-sd.
 
-This module is the pure-XLA reference path (it materializes the decoded
-block); gmrm_tpu.ops.pallas_kernels provides the streaming Pallas variant
-for large N and is tested against this one.
+MXU strategy (float32 path): the decoded planes are exact small integers
+(a in {0,1,2}, b in {0,1}, na in {0,1}), so every product of two decoded
+planes is exact in bfloat16 with float32 accumulation — integer sums stay
+below 2^24.  The centered Gram
+
+    G[j,i] = sum_n na * (a_j - m_j b_j)(a_i - m_i b_i)
+
+is therefore expanded into three *exact* bf16 matmuls (A·A^T, B·A^T, B·B^T
+with the na mask folded into the left operand) and recombined with the
+means on the VPU — one MXU pass each instead of the 6-pass
+``Precision.HIGHEST`` f32 einsum.  Continuous operands (eps, dbeta) are
+split into bf16 hi+lo pairs (Dekker split across formats: hi = bf16(x) and
+x - hi is exact in f32, so two bf16 passes reconstruct x to ~2^-17
+relative), keeping those matmuls at MXU speed too.
+
+The float64 path keeps plain HIGHEST-precision einsums (it exists for
+CPU oracle-grade runs, not for TPU throughput).
 """
 
 from __future__ import annotations
@@ -24,10 +38,26 @@ import jax
 import jax.numpy as jnp
 
 # This JAX build lowers f32 matmuls at bf16 precision by default (TPU MXU
-# convention); the Gibbs recursion needs true f32 accumulation.
+# convention); the float64 fallback path needs true wide accumulation.
 _PREC = jax.lax.Precision.HIGHEST
 
 from gmrm_tpu.ops.decode import decode_planes_jax
+
+_BF16 = jnp.bfloat16
+_F32 = jnp.float32
+
+
+def _split_hi_lo(x):
+    """Dekker split of an f32 array into two bf16 arrays with
+    hi + lo ~= x to ~2^-17 relative."""
+    hi = x.astype(_BF16)
+    lo = (x - hi.astype(_F32)).astype(_BF16)
+    return hi, lo
+
+
+def _mm(x, y, sub):
+    """einsum with f32 accumulation on the MXU (single bf16 pass)."""
+    return jnp.einsum(sub, x, y, preferred_element_type=_F32)
 
 
 def _xc(bed_block, mave, dtype):
@@ -39,7 +69,8 @@ def _xc(bed_block, mave, dtype):
     return a[None] - mave[:, :, None, None] * b[None]      # (T, B, 4, mb)
 
 
-def block_gram(bed_block, eps, na, mave, *, dtype=jnp.float32):
+def block_gram(bed_block, eps, na, mave, *, dtype=jnp.float32,
+               shared_na: bool = False):
     """Raw dot products and Gram matrix for one marker block.
 
     Args:
@@ -47,6 +78,9 @@ def block_gram(bed_block, eps, na, mave, *, dtype=jnp.float32):
       eps: (T, 4, mb) residual phase planes (zeros at NAs and padding).
       na:  (T, 4, mb) 0/1 phenotype-observed masks.
       mave: (T, B) per-trait marker means for the block.
+      shared_na: static hint that every trait's na mask is identical
+        (no phenotype NAs) — the Gram then collapses to one trait's worth
+        of matmuls.
 
     Returns:
       craw: (T, B) = sum_i xc[t,j,i] * eps[t,i]   (the un-scaled x^T eps;
@@ -54,6 +88,39 @@ def block_gram(bed_block, eps, na, mave, *, dtype=jnp.float32):
             reference dot product which also omits it, bayes.cpp:709-770).
       graw: (T, B, B) = sum_i na[t,i] * xc[t,j,i] * xc[t,j',i].
     """
+    if dtype != jnp.float32:
+        return _block_gram_wide(bed_block, eps, na, mave, dtype=dtype)
+
+    a, b = decode_planes_jax(bed_block, dtype=_BF16)       # exact integers
+    eps_hi, eps_lo = _split_hi_lo(eps.astype(_F32))
+
+    # craw = A·eps - mave ⊙ (B·eps); eps reconstructed from its bf16 split.
+    ca = _mm(a, eps_hi, "bkm,tkm->tb") + _mm(a, eps_lo, "bkm,tkm->tb")
+    cb = _mm(b, eps_hi, "bkm,tkm->tb") + _mm(b, eps_lo, "bkm,tkm->tb")
+    craw = ca - mave * cb
+
+    # Gram pieces: G1 = Σ na a_j a_i, G2 = Σ na b_j a_i, G3 = Σ na b_j b_i;
+    # G[t,j,i] = G1 - m_ti G2[i,j] - m_tj G2[j,i] + m_tj m_ti G3[j,i].
+    if shared_na:
+        na0 = na[0].astype(_BF16)                          # (4, mb), 0/1
+        an, bn = a * na0, b * na0
+        g1 = _mm(an, a, "bkm,ckm->bc")[None]               # (1, B, B)
+        g2 = _mm(bn, a, "bkm,ckm->bc")[None]
+        g3 = _mm(bn, b, "bkm,ckm->bc")[None]
+    else:
+        nab = na.astype(_BF16)
+        an = a[None] * nab[:, None]                        # (T, B, 4, mb)
+        bn = b[None] * nab[:, None]
+        g1 = _mm(an, a, "tbkm,ckm->tbc")
+        g2 = _mm(bn, a, "tbkm,ckm->tbc")
+        g3 = _mm(bn, b, "tbkm,ckm->tbc")
+    mj = mave[:, :, None]
+    mi = mave[:, None, :]
+    graw = g1 - mi * jnp.swapaxes(g2, -1, -2) - mj * g2 + (mj * mi) * g3
+    return craw, graw.astype(dtype)
+
+
+def _block_gram_wide(bed_block, eps, na, mave, *, dtype):
     xc = _xc(bed_block, mave, dtype)                       # (T, B, 4, mb)
     craw = jnp.einsum("tbkm,tkm->tb", xc, eps,
                       preferred_element_type=dtype, precision=_PREC)
@@ -71,10 +138,21 @@ def block_eps_update(bed_block, dbeta_scaled, na, mave, *, dtype=jnp.float32):
     the batched form of the reference rank-1 update
     ``eps += dbeta*msig*(a - mave*b)*na`` (phenotype.cpp:326-393).
     """
-    xc = _xc(bed_block, mave, dtype)                       # (T, B, 4, mb)
-    deps = jnp.einsum("tb,tbkm->tkm", dbeta_scaled, xc,
-                      preferred_element_type=dtype, precision=_PREC)
-    return deps * na
+    if dtype != jnp.float32:
+        xc = _xc(bed_block, mave, dtype)                   # (T, B, 4, mb)
+        deps = jnp.einsum("tb,tbkm->tkm", dbeta_scaled, xc,
+                          preferred_element_type=dtype, precision=_PREC)
+        return deps * na
+
+    a, b = decode_planes_jax(bed_block, dtype=_BF16)
+    d = dbeta_scaled.astype(_F32)
+    md = mave * d
+    d_hi, d_lo = _split_hi_lo(d)
+    md_hi, md_lo = _split_hi_lo(md)
+    # deps = A^T d - B^T (mave ⊙ d), per trait.
+    ea = _mm(d_hi, a, "tb,bkm->tkm") + _mm(d_lo, a, "tb,bkm->tkm")
+    eb = _mm(md_hi, b, "tb,bkm->tkm") + _mm(md_lo, b, "tb,bkm->tkm")
+    return (ea - eb) * na
 
 
 def marker_stats_jax(bed, na, nonas, *, dtype=jnp.float32, chunk=512):
@@ -87,6 +165,9 @@ def marker_stats_jax(bed, na, nonas, *, dtype=jnp.float32, chunk=512):
                     / (nonas-1))
     which equals the reference two-pass formula (phenotype.cpp:466-556)
     because a*b == a and b*b == b for this decode.
+
+    The three reductions are integer sums below 2^24, so the bf16 matmuls
+    are exact for float32 runs.
     """
     m = bed.shape[0]
     n_chunks = -(-m // chunk)
@@ -96,17 +177,30 @@ def marker_stats_jax(bed, na, nonas, *, dtype=jnp.float32, chunk=512):
         bed = jnp.concatenate([bed, pad], axis=0)
     bed_c = bed.reshape(n_chunks, chunk, -1)
 
+    fast = dtype == jnp.float32
+    mm_dtype = _BF16 if fast else dtype
+
     def one_chunk(bc):
-        a, b = decode_planes_jax(bc, dtype=dtype)          # (chunk, 4, mb)
-        sa = jnp.einsum("bkm,tkm->tb", a, na, preferred_element_type=dtype, precision=_PREC)
-        sb = jnp.einsum("bkm,tkm->tb", b, na, preferred_element_type=dtype, precision=_PREC)
-        saa = jnp.einsum("bkm,tkm->tb", a * a, na, preferred_element_type=dtype, precision=_PREC)
+        a, b = decode_planes_jax(bc, dtype=mm_dtype)       # (chunk, 4, mb)
+        nab = na.astype(mm_dtype)
+        if fast:
+            sa = _mm(a, nab, "bkm,tkm->tb")
+            sb = _mm(b, nab, "bkm,tkm->tb")
+            saa = _mm(a * a, nab, "bkm,tkm->tb")
+        else:
+            sa = jnp.einsum("bkm,tkm->tb", a, nab,
+                            preferred_element_type=dtype, precision=_PREC)
+            sb = jnp.einsum("bkm,tkm->tb", b, nab,
+                            preferred_element_type=dtype, precision=_PREC)
+            saa = jnp.einsum("bkm,tkm->tb", a * a, nab,
+                             preferred_element_type=dtype, precision=_PREC)
         return sa, sb, saa
 
     sa, sb, saa = jax.lax.map(one_chunk, bed_c)            # (n_chunks, T, chunk)
-    sa = jnp.moveaxis(sa, 1, 0).reshape(na.shape[0], m_pad)[:, :m]
-    sb = jnp.moveaxis(sb, 1, 0).reshape(na.shape[0], m_pad)[:, :m]
-    saa = jnp.moveaxis(saa, 1, 0).reshape(na.shape[0], m_pad)[:, :m]
+    t = na.shape[0]
+    sa = jnp.moveaxis(sa, 1, 0).reshape(t, m_pad)[:, :m].astype(dtype)
+    sb = jnp.moveaxis(sb, 1, 0).reshape(t, m_pad)[:, :m].astype(dtype)
+    saa = jnp.moveaxis(saa, 1, 0).reshape(t, m_pad)[:, :m].astype(dtype)
 
     mave = sa / sb
     ssq = saa - 2.0 * mave * sa + mave * mave * sb

@@ -17,8 +17,10 @@ from gmrm_tpu.ops.blockops import block_gram, block_eps_update
 HAVE_PALLAS_KERNELS = False
 
 
-def block_gram_pallas(bed_block, eps, na, mave, *, dtype=jnp.float32):
-    return block_gram(bed_block, eps, na, mave, dtype=dtype)
+def block_gram_pallas(bed_block, eps, na, mave, *, dtype=jnp.float32,
+                      shared_na=False):
+    return block_gram(bed_block, eps, na, mave, dtype=dtype,
+                      shared_na=shared_na)
 
 
 def block_eps_update_pallas(bed_block, dbeta_scaled, na, mave, *,

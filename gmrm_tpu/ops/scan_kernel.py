@@ -6,24 +6,41 @@ of loop overhead per marker step, which dominates the whole sampler (a
 This kernel runs the entire B-step recursion inside one ``pallas_call``
 with every operand VMEM-resident.
 
+Design (two levels):
+
+1. Everything that does not depend on the serial ``num`` recursion is
+   precomputed OUTSIDE the kernel, vectorized over the whole block at full
+   VPU width: the likelihood constants ``lc = log pi - 0.5 log(...)``, the
+   reciprocal denominators ``rd = 1/denom``, the draw scales
+   ``sqb = sqrt(sigmae/denom)``, the ``base = c + beta_old (nonas-1)``
+   term, and the adaV/validity masks.  The per-step body is left with only
+   num-dependent work.
+2. The reference's sequential CDF walk (``src/bayes.cpp:435-477``) is
+   reformulated branchlessly: all K partial normalizers
+   ``s_i = 1/sum_k exp(logl_k - logl_i)`` (with the per-step overflow
+   guard ``any_{k>=i} |logl_k - logl_i| > 700 -> s_i = 0``) are computed
+   at once from the (K, K) difference table, the CDF is their prefix sum
+   in the same accumulation order as the serial walk, and the component is
+   the first index with ``u <= cdf`` (else K-1) — provably the same choice
+   the walk makes.
+
+The serial interaction term is maintained *incrementally*: a running
+correction buffer ``corr[i] += dbeta_j * gs[j, i]`` (one (B, T) FMA per
+step, skipped when dbeta == 0) replaces the per-step dot product.
+
 Layout: the marker axis B lives on SUBLANES (dynamic indexing is legal
 there; Mosaic forbids dynamic lane slices), the trait axis T on LANES — so
-multi-trait batching up to 128 traits rides free.  The serial interaction
-term is maintained *incrementally*: a running correction buffer
-``corr[i] += dbeta_j * gs[j, i]`` (one (B, T) FMA per step) replaces the
-per-step dot product, so a step is ~25 tiny VPU ops plus one (B, T) FMA.
+multi-trait batching up to 128 traits rides free.
 
 Semantics are identical to block_scan (the reference recursion
-``src/bayes.cpp:391-492``); tests cross-check component choices exactly.
+``src/bayes.cpp:391-492``); tests cross-check component choices exactly
+(tests/test_scan_kernel.py, interpret mode).
 
 Shape conventions (wrapper transposes from the sampler's (T, ...) forms):
-  c, beta_old, acum_old, u, z, dbeta/beta/acum outs: (B, T) f32
-  comp_old / comp out:       (B, T) i32
+  base, beta_old, acum_old, u, z, live, zerob, outs: (B, T)
+  lc, rd, sqb:               (B, K, T) f32
   gs_t:                      (B, B, T) f32   gs_t[j, i, t] = G_std[t, j, i]
-  grp, valid:                (B,) i32 (scalar prefetch, SMEM)
-  sigmag: (G, T); sigmae, nonas: (1, T); pi_est: (G*K, T)
-  cva, cvai: (G*K, 1); n_total: (1, 1)
-  cass out: (G*K, T) i32
+  inv2sige:                  (1, T)
 """
 
 from __future__ import annotations
@@ -39,98 +56,69 @@ from gmrm_tpu.sampler.scan import BlockScanResult
 
 
 def _scan_kernel(
-    # scalar prefetch (SMEM)
-    grp_ref, valid_ref,
     # VMEM inputs
-    c_ref, gs_ref, beta_old_ref, comp_old_ref, acum_old_ref,
-    u_ref, z_ref, sigmag_ref, sigmae_ref, pi_ref, cva_ref, cvai_ref,
-    nonas_ref, n_total_ref,
+    base_ref, lc_ref, rd_ref, sqb_ref, gs_ref,
+    beta_old_ref, comp_old_ref, acum_old_ref,
+    u_ref, z_ref, live_ref, zerob_ref, inv2sige_ref,
     # outputs
-    dbeta_ref, beta_new_ref, comp_new_ref, acum_new_ref, cass_ref,
+    dbeta_ref, beta_new_ref, comp_new_ref, acum_new_ref,
     # scratch
     corr_ref,
-    *, n_mix: int, n_grp: int,
+    *, n_mix: int,
 ):
-    B, T = c_ref.shape
-    K, G = n_mix, n_grp
+    B, T = base_ref.shape
+    K = n_mix
 
-    sigmae = sigmae_ref[:, :]                  # (1, T)
-    nonas = nonas_ref[:, :]                    # (1, T)
-    inv2sige = 1.0 / (2.0 * sigmae)
-    n_total = n_total_ref[:, :]                # (1, 1)
-
-    cass_ref[:, :] = jnp.zeros((G * K, T), jnp.int32)
+    i2se = inv2sige_ref[:, :]                      # (1, T)
     corr_ref[:, :] = jnp.zeros((B, T), jnp.float32)
     krow = jax.lax.broadcasted_iota(jnp.int32, (K, T), 0)
 
     def step(j, _):
-        grp_j = grp_ref[j]
-        valid_j = valid_ref[j] != 0
+        num = base_ref[pl.ds(j, 1), :] + corr_ref[pl.ds(j, 1), :]   # (1, T)
+        muk = num * rd_ref[j]                                       # (K, T)
+        logl = lc_ref[j] + muk * (num * i2se)                       # (K, T)
 
-        sg = sigmag_ref[pl.ds(grp_j, 1), :]                # (1, T)
-        adav = sg == 0.0
-        sg_safe = jnp.where(adav, 1.0, sg)
-        sige_g = sigmae / sg_safe
-        sigg_e = sg_safe / sigmae
-
-        c_j = c_ref[pl.ds(j, 1), :]                        # (1, T)
-        beta_old_j = beta_old_ref[pl.ds(j, 1), :]
-        num = c_j + corr_ref[pl.ds(j, 1), :] \
-            + beta_old_j * (nonas - 1.0)                   # (1, T)
-
-        cvai_g = cvai_ref[pl.ds(grp_j * K, K), :]          # (K, 1)
-        cva_g = cva_ref[pl.ds(grp_j * K, K), :]            # (K, 1)
-        # denom row k pairs slab k (row 0 = N-1, unused: muk row 0 = 0).
-        denom = (n_total - 1.0) + sige_g * cvai_g          # (K, T)
-        muk = jnp.where(krow == 0, 0.0, num / denom)       # (K, T)
-
-        pi_g = pi_ref[pl.ds(grp_j * K, K), :]              # (K, T)
-        logl = jnp.log(pi_g)
-        tail = (-0.5 * jnp.log(sigg_e * (nonas - 1.0) * cva_g + 1.0)
-                + muk * num * inv2sige)
-        logl = jnp.where(krow == 0, logl, logl + tail)
-
-        u_j = u_ref[pl.ds(j, 1), :]                        # (1, T)
-        l0 = logl[0:1, :]
-        over0 = jnp.any(jnp.abs(logl - l0) > 700.0, axis=0, keepdims=True)
-        acum = jnp.where(
-            over0, 0.0,
-            1.0 / jnp.sum(jnp.exp(logl - l0), axis=0, keepdims=True))
-        comp = jnp.full((1, T), K - 1, jnp.int32)
-        chosen = jnp.zeros((1, T), jnp.bool_)
+        # Branchless CDF walk, unrolled over the K mixture slots (K is a
+        # small static constant; all ops stay 2D for Mosaic).
+        rows = []
+        prev = None
         for i in range(K):
-            sel = (~chosen) & ((u_j <= acum) | (i == K - 1))
-            comp = jnp.where(sel, i, comp)
-            chosen = chosen | sel
-            if i < K - 1:
-                ref_l = logl[i + 1:i + 2, :]
-                zero_inc = jnp.any(
-                    (krow >= i + 1) & (jnp.abs(logl - ref_l) > 700.0),
-                    axis=0, keepdims=True)
-                esum = jnp.sum(jnp.exp(logl - ref_l), axis=0, keepdims=True)
-                inc = jnp.where(zero_inc, 0.0, 1.0 / esum)
-                acum = jnp.where(chosen, acum, acum + inc)
+            d_i = logl - logl[i:i + 1, :]                           # (K, T)
+            # The reference checks slabs from i onward for overflow.
+            guard_i = jnp.any((krow >= i) & (jnp.abs(d_i) > 700.0),
+                              axis=0, keepdims=True)                # (1, T)
+            esum_i = jnp.sum(jnp.exp(d_i), axis=0, keepdims=True)
+            s_i = jnp.where(guard_i, 0.0, 1.0 / esum_i)
+            prev = s_i if prev is None else prev + s_i
+            rows.append(prev)
+        cdf = jnp.concatenate(rows, axis=0)                         # (K, T)
 
-        onehot_c = krow == comp                            # (K, T)
+        u_j = u_ref[pl.ds(j, 1), :]                                 # (1, T)
+        cmp = u_j <= cdf                                            # (K, T)
+        comp = jnp.min(jnp.where(cmp, krow, K - 1), axis=0,
+                       keepdims=True)                               # (1, T)
+        onehot_c = krow == comp                                     # (K, T)
+        acum = jnp.sum(jnp.where(onehot_c, cdf, 0.0), axis=0,
+                       keepdims=True)
         muk_sel = jnp.sum(jnp.where(onehot_c, muk, 0.0), axis=0,
-                          keepdims=True)                   # (1, T)
-        denom_sel = jnp.sum(jnp.where(onehot_c, denom, 0.0), axis=0,
-                            keepdims=True)
-        denom_sel = jnp.where(denom_sel == 0.0, 1.0, denom_sel)
+                          keepdims=True)
+        sqb_sel = jnp.sum(jnp.where(onehot_c, sqb_ref[j], 0.0), axis=0,
+                          keepdims=True)
         z_j = z_ref[pl.ds(j, 1), :]
-        beta_drawn = muk_sel + jnp.sqrt(sigmae / denom_sel) * z_j
-        beta_sampled = jnp.where(comp == 0, 0.0, beta_drawn)
+        beta_sampled = jnp.where(comp == 0, 0.0, muk_sel + sqb_sel * z_j)
 
-        live = valid_j & (~adav)                           # (1, T)
-        comp_old_j = comp_old_ref[pl.ds(j, 1), :]
-        acum_old_j = acum_old_ref[pl.ds(j, 1), :]
+        live_j = live_ref[pl.ds(j, 1), :] != 0                      # (1, T)
+        zerob_j = zerob_ref[pl.ds(j, 1), :] != 0
+        beta_old_j = beta_old_ref[pl.ds(j, 1), :]
         beta_new_ref[pl.ds(j, 1), :] = jnp.where(
-            valid_j, jnp.where(adav, 0.0, beta_sampled), beta_old_j)
-        comp_new_ref[pl.ds(j, 1), :] = jnp.where(live, comp, comp_old_j)
+            live_j, beta_sampled, jnp.where(zerob_j, 0.0, beta_old_j))
+        comp_new_ref[pl.ds(j, 1), :] = jnp.where(
+            live_j, comp, comp_old_ref[pl.ds(j, 1), :])
         acum_new_ref[pl.ds(j, 1), :] = jnp.where(
-            valid_j, jnp.where(adav, 1.0, acum), acum_old_j)
+            live_j, acum, jnp.where(zerob_j, 1.0,
+                                    acum_old_ref[pl.ds(j, 1), :]))
 
-        dbeta_j = jnp.where(live, beta_old_j - beta_sampled, 0.0)  # (1, T)
+        dbeta_j = jnp.where(live_j, beta_old_j - beta_sampled, 0.0)
         dbeta_ref[pl.ds(j, 1), :] = dbeta_j
 
         # Propagate this marker's move into every later marker's num via a
@@ -139,22 +127,19 @@ def _scan_kernel(
         def _():
             corr_ref[:, :] = corr_ref[:, :] + gs_ref[j] * dbeta_j
 
-        gk = jax.lax.broadcasted_iota(jnp.int32, (G * K, T), 0)
-        hit = (gk == grp_j * K + comp) & live
-        cass_ref[:, :] = cass_ref[:, :] + hit.astype(jnp.int32)
         return 0
 
     jax.lax.fori_loop(0, B, step, 0)
 
 
 @functools.lru_cache(maxsize=64)
-def _build_call(T, B, G, K, interpret):
-    kern = functools.partial(_scan_kernel, n_mix=K, n_grp=G)
+def _build_call(T, B, K, interpret):
+    kern = functools.partial(_scan_kernel, n_mix=K)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=0,
         grid=(),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 14,
-        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 13,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
         scratch_shapes=[pltpu.VMEM((B, T), jnp.float32)],
     )
     out_shape = [
@@ -162,7 +147,6 @@ def _build_call(T, B, G, K, interpret):
         jax.ShapeDtypeStruct((B, T), jnp.float32),      # beta_new
         jax.ShapeDtypeStruct((B, T), jnp.int32),        # comp_new
         jax.ShapeDtypeStruct((B, T), jnp.float32),      # acum_new
-        jax.ShapeDtypeStruct((G * K, T), jnp.int32),    # cass_inc
     ]
     return pl.pallas_call(
         kern, grid_spec=grid_spec, out_shape=out_shape, interpret=interpret,
@@ -175,31 +159,68 @@ def block_scan_pallas(
     axis_name=None, interpret=False,
 ) -> BlockScanResult:
     """Drop-in replacement for sampler.scan.block_scan (same argument
-    meanings; transposes into the kernel's marker-major layout)."""
+    meanings).  Precomputes all num-independent quantities vectorized over
+    the block, runs the serial recursion in one kernel, and accumulates
+    cass afterwards in XLA."""
     T, B = c.shape
     G, K = cva.shape
     f32 = jnp.float32
 
-    call = _build_call(T, B, G, K, interpret)
+    c = c.astype(f32)
+    beta_old_f = beta_old.astype(f32)
+    sigmae_f = sigmae.astype(f32)[:, None]                 # (T, 1)
+    nonas_f = nonas.astype(f32)[:, None]                   # (T, 1)
+    n_total_f = jnp.asarray(n_total, f32)
+
+    sg = jnp.take_along_axis(
+        sigmag.astype(f32), grp[None, :], axis=1)          # (T, B)
+    adav = sg == 0.0
+    sg_safe = jnp.where(adav, 1.0, sg)
+    sige_g = sigmae_f / sg_safe                            # (T, B)
+    sigg_e = sg_safe / sigmae_f
+
+    cvai_b = cvai.astype(f32)[grp, 1:]                     # (B, K-1)
+    cva_b = cva.astype(f32)[grp, 1:]
+    denom = (n_total_f - 1.0) + sige_g[:, :, None] * cvai_b[None]  # (T,B,K-1)
+    zeros0 = jnp.zeros((T, B, 1), f32)
+    rd = jnp.concatenate([zeros0, 1.0 / denom], axis=2)    # (T, B, K)
+    sqb = jnp.concatenate(
+        [zeros0, jnp.sqrt(sigmae_f[:, :, None] / denom)], axis=2)
+
+    logpi = jnp.log(pi_est.astype(f32))[:, grp, :]         # (T, B, K)
+    tail_c = -0.5 * jnp.log(
+        sigg_e[:, :, None] * (nonas_f[:, :, None] - 1.0) * cva_b[None] + 1.0)
+    lc = logpi.at[:, :, 1:].add(tail_c)
+
+    base = c + beta_old_f * (nonas_f - 1.0)                # (T, B)
+    validb = valid[None, :]                                # (1, B)
+    live = (validb & (~adav)).astype(jnp.int32)            # (T, B)
+    zerob = (validb & adav).astype(jnp.int32)
+
+    call = _build_call(T, B, K, interpret)
     outs = call(
-        grp.astype(jnp.int32), valid.astype(jnp.int32),
-        c.T.astype(f32),
-        jnp.transpose(gs, (1, 2, 0)).astype(f32),        # (B, B, T), [j,i,t]
-        beta_old.T.astype(f32), comp_old.T.astype(jnp.int32),
-        acum_old.T.astype(f32), u.T.astype(f32), z.T.astype(f32),
-        sigmag.T.astype(f32),                            # (G, T)
-        sigmae.reshape(1, T).astype(f32),
-        pi_est.reshape(T, G * K).T.astype(f32),          # (G*K, T)
-        cva.reshape(G * K, 1).astype(f32),
-        cvai.reshape(G * K, 1).astype(f32),
-        nonas.reshape(1, T).astype(f32),
-        jnp.asarray(n_total, f32).reshape(1, 1),
+        base.T,
+        jnp.transpose(lc, (1, 2, 0)),                      # (B, K, T)
+        jnp.transpose(rd, (1, 2, 0)),
+        jnp.transpose(sqb, (1, 2, 0)),
+        jnp.transpose(gs, (1, 2, 0)).astype(f32),          # (B, B, T), [j,i,t]
+        beta_old_f.T, comp_old.astype(jnp.int32).T,
+        acum_old.astype(f32).T, u.astype(f32).T, z.astype(f32).T,
+        live.T, zerob.T,
+        (1.0 / (2.0 * sigmae_f)).reshape(1, T),
     )
-    dbeta, beta_new, comp_new, acum_new, cass_flat = outs
+    dbeta, beta_new, comp_new, acum_new = outs
+
+    # cass increment, vectorized in XLA (one tiny fused op per block).
+    onehot_k = jax.nn.one_hot(comp_new.T, K, dtype=jnp.int32)   # (T, B, K)
+    onehot_g = jax.nn.one_hot(grp, G, dtype=jnp.int32)          # (B, G)
+    cass_inc = jnp.einsum(
+        "tbk,bg->tgk", onehot_k * live[:, :, None], onehot_g)
+
     return BlockScanResult(
         dbeta_eff=dbeta.T.astype(c.dtype),
         beta_new=beta_new.T.astype(c.dtype),
         comp_new=comp_new.T,
         acum_new=acum_new.T.astype(c.dtype),
-        cass_inc=cass_flat.T.reshape(T, G, K),
+        cass_inc=cass_inc,
     )

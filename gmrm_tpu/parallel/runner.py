@@ -57,10 +57,12 @@ def _static_specs() -> StaticInputs:
 
 
 def make_sharded_step(mesh, *, block_size: int, use_pallas: bool = False,
-                      donate: bool = True):
+                      donate: bool = True, shuffle: bool = True,
+                      shared_na: bool = False):
     """Jitted sharded step (state, static, it) -> (state, aux)."""
     fn = partial(gibbs_iteration, block_size=block_size,
-                 axis_name=MARKER_AXIS, use_pallas=use_pallas)
+                 axis_name=MARKER_AXIS, use_pallas=use_pallas,
+                 shuffle=shuffle, shared_na=shared_na)
     sspec, tspec = _state_specs(), _static_specs()
     sharded = jax.shard_map(
         fn, mesh=mesh,
@@ -193,7 +195,9 @@ def run_training_sharded(opt: Options, n_devices: int = 0,
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu",)
     step = make_sharded_step(mesh, block_size=opt.block_size,
-                             use_pallas=use_pallas)
+                             use_pallas=use_pallas,
+                             shuffle=opt.shuffle_markers,
+                             shared_na=all(ph.nas == 0 for ph in data.phens))
 
     outputs = OutputSet(opt, data)
     result = RunResult(state=state)

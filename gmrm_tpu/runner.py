@@ -242,8 +242,10 @@ def run_training(opt: Options, verbose: bool = True) -> RunResult:
     use_pallas = opt.use_pallas
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu",)
+    shared_na = all(ph.nas == 0 for ph in data.phens)
     step = make_gibbs_step(block_size=opt.block_size, use_pallas=use_pallas,
-                           donate=True)
+                           donate=True, shuffle=opt.shuffle_markers,
+                           shared_na=shared_na)
 
     beta_acc = np.zeros_like(np.asarray(state.betas, np.float64))
     n_rec = 0

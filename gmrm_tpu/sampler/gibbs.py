@@ -53,16 +53,21 @@ def marker_sweep(
     *,
     axis_name: Optional[str] = None,
     use_pallas: bool = False,
+    shared_na: bool = False,
 ):
     """The full marker sweep (reference loop bayes.cpp:375-553) over Gram
     blocks, with all randomness injected — directly comparable to the NumPy
-    serial oracle.  Returns (eps, betas, comp, acum, cass_local)."""
+    serial oracle.  Returns (eps, betas, comp, acum, cass_local).
+
+    ``shared_na`` is a static hint that all traits share one NA mask (no
+    phenotype NAs) — it collapses the per-trait Gram to a single one.
+    """
     na = static.na
     nonas = static.nonas.astype(eps.dtype)
     n_total = static.n_total.astype(eps.dtype)
     dtype = eps.dtype
 
-    gram_fn = block_gram
+    gram_fn = functools.partial(block_gram, shared_na=shared_na)
     upd_fn = block_eps_update
     scan_fn = block_scan
     if use_pallas:
@@ -70,7 +75,7 @@ def marker_sweep(
             block_gram_pallas, block_eps_update_pallas,
         )
         from gmrm_tpu.ops.scan_kernel import block_scan_pallas
-        gram_fn = block_gram_pallas
+        gram_fn = functools.partial(block_gram_pallas, shared_na=shared_na)
         upd_fn = block_eps_update_pallas
         scan_fn = block_scan_pallas
 
@@ -127,6 +132,8 @@ def gibbs_iteration(
     block_size: int,
     axis_name: Optional[str] = None,
     use_pallas: bool = False,
+    shuffle: bool = True,
+    shared_na: bool = False,
 ):
     T, _, mb = state.eps.shape
     m_pad = state.betas.shape[1]
@@ -160,9 +167,14 @@ def gibbs_iteration(
     # Uniform shuffle of the real markers with pad slots pinned to the end
     # (supports per-device remainder markers under a common nblocks, the
     # reference's Mm idle-step scheme, bayes.cpp:375-382).
-    r = jr.uniform(k_perm, (m_pad,))
-    r = jnp.where(jnp.arange(m_pad) < static.m_local, r, 2.0)
-    perm = jnp.argsort(r)
+    if shuffle:
+        r = jr.uniform(k_perm, (m_pad,))
+        r = jnp.where(jnp.arange(m_pad) < static.m_local, r, 2.0)
+        perm = jnp.argsort(r)
+    else:
+        # --shuffle-markers 0: natural order (options.cpp:64-68; pad slots
+        # already sit at the end of the local range).
+        perm = jnp.arange(m_pad)
     blocks = perm.reshape(nblocks, B)
 
     u_all = jr.uniform(k_u, (nblocks, T, B), dtype)
@@ -173,7 +185,7 @@ def gibbs_iteration(
         eps, state.betas, state.comp, state.acum,
         state.sigmag, sigmae, state.pi_est,
         static, blocks, u_all, z_all,
-        axis_name=axis_name, use_pallas=use_pallas,
+        axis_name=axis_name, use_pallas=use_pallas, shared_na=shared_na,
     )
 
     # --- 4. hyperparameter block -----------------------------------------
@@ -218,7 +230,8 @@ def gibbs_iteration(
 
 
 def make_gibbs_step(*, block_size: int, axis_name: Optional[str] = None,
-                    use_pallas: bool = False, donate: bool = True):
+                    use_pallas: bool = False, donate: bool = True,
+                    shuffle: bool = True, shared_na: bool = False):
     """Jitted single-iteration step (state, static, it) -> (state, aux).
 
     ``static`` is a regular argument (not a closure constant) so the bed
@@ -226,6 +239,6 @@ def make_gibbs_step(*, block_size: int, axis_name: Optional[str] = None,
     """
     fn = functools.partial(
         gibbs_iteration, block_size=block_size, axis_name=axis_name,
-        use_pallas=use_pallas,
+        use_pallas=use_pallas, shuffle=shuffle, shared_na=shared_na,
     )
     return jax.jit(fn, donate_argnums=(0,) if donate else ())

@@ -1,0 +1,71 @@
+"""--shuffle-markers 0 behavior and the extract-nonzero-beta tool."""
+
+import io
+
+import numpy as np
+
+from gmrm_tpu.config import Options
+from gmrm_tpu.runner import run_training
+from gmrm_tpu.tools import extract_nonzero_beta, main as tools_main
+
+
+def _opts(sim, out_dir, **kw):
+    base = dict(
+        bed_file=sim.bed, dim_file=sim.dim, phen_files=sim.phens,
+        group_index_file=sim.gri, group_mixture_file=sim.grm,
+        iterations=12, seed=7, out_dir=out_dir, block_size=16,
+        output_thin_rate=3,
+    )
+    base.update(kw)
+    return Options(**base)
+
+
+def test_shuffle_off_is_deterministic_and_differs(sim_small, tmp_path):
+    o1 = _opts(sim_small, str(tmp_path / "a"), shuffle_markers=False)
+    r1 = run_training(o1, verbose=False)
+    o2 = _opts(sim_small, str(tmp_path / "b"), shuffle_markers=False)
+    r2 = run_training(o2, verbose=False)
+    # Same seed, no shuffle -> bit-identical chains.
+    np.testing.assert_array_equal(
+        np.asarray(r1.state.betas), np.asarray(r2.state.betas))
+    np.testing.assert_array_equal(
+        np.asarray(r1.state.sigmae), np.asarray(r2.state.sigmae))
+
+    # Shuffled chain with the same seed takes a different trajectory
+    # (processing order matters in a Gibbs sweep).
+    o3 = _opts(sim_small, str(tmp_path / "c"), shuffle_markers=True)
+    r3 = run_training(o3, verbose=False)
+    assert not np.array_equal(
+        np.asarray(r1.state.betas), np.asarray(r3.state.betas))
+
+
+def test_extract_nonzero_beta(sim_small, tmp_path):
+    out = str(tmp_path / "out")
+    run_training(_opts(sim_small, out), verbose=False)
+    import os
+    bet = [os.path.join(out, f) for f in os.listdir(out)
+           if f.endswith(".bet")][0]
+
+    buf = io.StringIO()
+    rows = extract_nonzero_beta(bet, 1, 12, out=buf)
+    assert rows, "expected some non-zero betas"
+    lines = buf.getvalue().splitlines()
+    assert len(lines) == len(rows)
+    # Reference format: "%7d %7d %20.12f" per row.
+    it, j, b = lines[0][:7], lines[0][8:15], lines[0][16:]
+    assert int(it) >= 1 and 0 <= int(j)
+    assert abs(float(b) - rows[0][2]) < 1e-12
+    # Iteration filter respected.
+    some_it = rows[0][0]
+    only = extract_nonzero_beta(bet, some_it, some_it)
+    assert all(r[0] == some_it for r in only)
+
+
+def test_tools_cli(sim_small, tmp_path, capsys):
+    out = str(tmp_path / "out")
+    run_training(_opts(sim_small, out), verbose=False)
+    import os
+    bet = [os.path.join(out, f) for f in os.listdir(out)
+           if f.endswith(".bet")][0]
+    assert tools_main(["extract-nonzero-beta", bet, "1", "12"]) == 0
+    assert capsys.readouterr().out.strip()
