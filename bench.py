@@ -25,7 +25,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 
-N, MT, TRAITS, ITERS = 10_000, 20_000, 4, 6
+N, MT, TRAITS = 10_000, 20_000, 4
+WARM_ITERS, MEAS_ITERS = 3, 23
 ORACLE_MARKERS = 600  # truncated serial-oracle run, extrapolated
 
 
@@ -43,17 +44,26 @@ def bench_tpu(data_dir):
     from gmrm_tpu.config import Options
     from gmrm_tpu.runner import run_training
 
-    opt = Options(
-        bed_file=f"{data_dir}/test.bed", dim_file=f"{data_dir}/test.dim",
-        phen_files=[f"{data_dir}/test{i+1}.phen" for i in range(TRAITS)],
-        group_index_file=f"{data_dir}/test.gri",
-        group_mixture_file=f"{data_dir}/test.grm",
-        iterations=ITERS, seed=42, block_size=128, output_thin_rate=10_000,
-    )
-    res = run_training(opt, verbose=False)
-    # The tunnel TPU shows high run-to-run variance; the minimum steady
-    # iteration is the best estimate of hardware capability.
-    steady = float(np.min(res.iter_seconds[2:]))
+    def run(iters):
+        opt = Options(
+            bed_file=f"{data_dir}/test.bed", dim_file=f"{data_dir}/test.dim",
+            phen_files=[f"{data_dir}/test{i+1}.phen" for i in range(TRAITS)],
+            group_index_file=f"{data_dir}/test.gri",
+            group_mixture_file=f"{data_dir}/test.grm",
+            iterations=iters, seed=42, block_size=128,
+            output_thin_rate=100_000,
+        )
+        return run_training(opt, verbose=False).chain_seconds
+
+    # Delta method: iterations run fully asynchronously (one device sync at
+    # chain end), so per-iteration time is (t(n_hi) - t(n_lo)) / (n_hi -
+    # n_lo), which cancels both the host-sync overhead (~25 ms on a
+    # tunneled TPU) and any residual first-dispatch cost.
+    run(WARM_ITERS)                       # compile both chain lengths
+    run(MEAS_ITERS)
+    t_lo = min(run(WARM_ITERS) for _ in range(2))
+    t_hi = min(run(MEAS_ITERS) for _ in range(2))
+    steady = (t_hi - t_lo) / (MEAS_ITERS - WARM_ITERS)
     return MT / steady, steady
 
 

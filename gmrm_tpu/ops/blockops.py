@@ -91,29 +91,37 @@ def block_gram(bed_block, eps, na, mave, *, dtype=jnp.float32,
     if dtype != jnp.float32:
         return _block_gram_wide(bed_block, eps, na, mave, dtype=dtype)
 
+    B = bed_block.shape[0]
+    T = eps.shape[0]
     a, b = decode_planes_jax(bed_block, dtype=_BF16)       # exact integers
+    ab = jnp.concatenate([a, b], axis=0)                   # (2B, 4, mb)
     eps_hi, eps_lo = _split_hi_lo(eps.astype(_F32))
 
-    # craw = A·eps - mave ⊙ (B·eps); eps reconstructed from its bf16 split.
-    ca = _mm(a, eps_hi, "bkm,tkm->tb") + _mm(a, eps_lo, "bkm,tkm->tb")
-    cb = _mm(b, eps_hi, "bkm,tkm->tb") + _mm(b, eps_lo, "bkm,tkm->tb")
-    craw = ca - mave * cb
+    # craw = A·eps - mave ⊙ (B·eps), eps reconstructed from its bf16 split —
+    # ONE matmul pass over [A;B] with hi/lo stacked on the rhs.  The sweep
+    # is HBM-pass-bound, so every fused pass matters (~560 GB/s measured).
+    cab = _mm(ab, jnp.concatenate([eps_hi, eps_lo], axis=0),
+              "bkm,skm->bs")                               # (2B, 2T)
+    ca = cab[:B, :T] + cab[:B, T:]                         # (B, T)
+    cb = cab[B:, :T] + cab[B:, T:]
+    craw = (ca - cb * mave.T).T                            # (T, B)
 
     # Gram pieces: G1 = Σ na a_j a_i, G2 = Σ na b_j a_i, G3 = Σ na b_j b_i;
     # G[t,j,i] = G1 - m_ti G2[i,j] - m_tj G2[j,i] + m_tj m_ti G3[j,i].
+    # All three come out of ONE [A;B]·[A;B]^T pass (quadrants of Gfull).
     if shared_na:
         na0 = na[0].astype(_BF16)                          # (4, mb), 0/1
-        an, bn = a * na0, b * na0
-        g1 = _mm(an, a, "bkm,ckm->bc")[None]               # (1, B, B)
-        g2 = _mm(bn, a, "bkm,ckm->bc")[None]
-        g3 = _mm(bn, b, "bkm,ckm->bc")[None]
+        gfull = _mm(ab * na0, ab, "bkm,ckm->bc")           # (2B, 2B)
+        g1 = gfull[:B, :B][None]                           # (1, B, B)
+        g2 = gfull[B:, :B][None]
+        g3 = gfull[B:, B:][None]
     else:
         nab = na.astype(_BF16)
-        an = a[None] * nab[:, None]                        # (T, B, 4, mb)
-        bn = b[None] * nab[:, None]
-        g1 = _mm(an, a, "tbkm,ckm->tbc")
-        g2 = _mm(bn, a, "tbkm,ckm->tbc")
-        g3 = _mm(bn, b, "tbkm,ckm->tbc")
+        ln = ab[None] * nab[:, None]                       # (T, 2B, 4, mb)
+        gfull = _mm(ln, ab, "tbkm,ckm->tbc")               # (T, 2B, 2B)
+        g1 = gfull[:, :B, :B]
+        g2 = gfull[:, B:, :B]
+        g3 = gfull[:, B:, B:]
     mj = mave[:, :, None]
     mi = mave[:, None, :]
     graw = g1 - mi * jnp.swapaxes(g2, -1, -2) - mj * g2 + (mj * mi) * g3
@@ -144,15 +152,21 @@ def block_eps_update(bed_block, dbeta_scaled, na, mave, *, dtype=jnp.float32):
                           preferred_element_type=dtype, precision=_PREC)
         return deps * na
 
+    T = dbeta_scaled.shape[0]
     a, b = decode_planes_jax(bed_block, dtype=_BF16)
+    ab = jnp.concatenate([a, b], axis=0)                   # (2B, 4, mb)
     d = dbeta_scaled.astype(_F32)
     md = mave * d
     d_hi, d_lo = _split_hi_lo(d)
     md_hi, md_lo = _split_hi_lo(md)
-    # deps = A^T d - B^T (mave ⊙ d), per trait.
-    ea = _mm(d_hi, a, "tb,bkm->tkm") + _mm(d_lo, a, "tb,bkm->tkm")
-    eb = _mm(md_hi, b, "tb,bkm->tkm") + _mm(md_lo, b, "tb,bkm->tkm")
-    return (ea - eb) * na
+    # deps = A^T d - B^T (mave ⊙ d) = [d, -md]·[A;B], hi/lo rows stacked —
+    # one matmul pass over [A;B].
+    lhs = jnp.concatenate([
+        jnp.concatenate([d_hi, -md_hi], axis=1),           # (T, 2B)
+        jnp.concatenate([d_lo, -md_lo], axis=1),
+    ], axis=0)                                             # (2T, 2B)
+    out = _mm(lhs, ab, "sb,bkm->skm")                      # (2T, 4, mb)
+    return (out[:T] + out[T:]) * na
 
 
 def marker_stats_jax(bed, na, nonas, *, dtype=jnp.float32, chunk=512):

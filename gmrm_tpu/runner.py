@@ -163,6 +163,8 @@ class RunResult:
     state: SamplerState
     iter_seconds: List[float] = field(default_factory=list)
     beta_mean: Optional[np.ndarray] = None   # (T, M) posterior mean over thin
+    chain_seconds: float = 0.0               # wall-clock of the whole chain
+    iters_run: int = 0
 
 
 class OutputSet:
@@ -269,6 +271,12 @@ def run_training(opt: Options, verbose: bool = True) -> RunResult:
     outputs = OutputSet(opt, data, resume=resuming)
     result = RunResult(state=state)
 
+    # Iterations are dispatched back-to-back WITHOUT per-iteration host
+    # syncs (a device round-trip costs ~25 ms on a tunneled TPU — far more
+    # than an iteration); the host only syncs at thin/checkpoint boundaries
+    # and once at the end.  ``verbose`` restores per-iteration timing prints
+    # (the reference's bayes.cpp:653-655 behavior) at that sync cost.
+    t_chain = time.perf_counter()
     for it in range(start_it, opt.iterations + 1):
         t0 = time.perf_counter()
         state, aux = step(state, static, jnp.asarray(it, jnp.int32))
@@ -287,14 +295,19 @@ def run_training(opt: Options, verbose: bool = True) -> RunResult:
                         f"RESULT : i:{it} p:{ti}  sum sigmaG = "
                         f"{sg_sum[ti]:20.15f}  sigmaE = {se[ti]:20.15f}"
                     )
-        jax.block_until_ready(state.sigmae)
-        dt = time.perf_counter() - t0
-        result.iter_seconds.append(dt)
         if verbose:
+            jax.block_until_ready(state.sigmae)
+            dt = time.perf_counter() - t0
             print(f"RESULT : It {it}  total proc time = {dt:7.3f} sec")
+        else:
+            dt = time.perf_counter() - t0
+        result.iter_seconds.append(dt)
         if ckpt and opt.checkpoint_every and it % opt.checkpoint_every == 0:
             save_checkpoint(ckpt, jax.device_get(state), it, beta_acc, n_rec)
 
+    jax.block_until_ready(state.sigmae)
+    result.chain_seconds = time.perf_counter() - t_chain
+    result.iters_run = opt.iterations - start_it + 1
     result.state = state
     if n_rec:
         result.beta_mean = beta_acc / n_rec

@@ -66,6 +66,9 @@ def marker_sweep(
     nonas = static.nonas.astype(eps.dtype)
     n_total = static.n_total.astype(eps.dtype)
     dtype = eps.dtype
+    nblocks, B = blocks.shape
+    T = betas.shape[0]
+    m_pad = nblocks * B
 
     gram_fn = functools.partial(block_gram, shared_na=shared_na)
     upd_fn = block_eps_update
@@ -79,18 +82,36 @@ def marker_sweep(
         upd_fn = block_eps_update_pallas
         scan_fn = block_scan_pallas
 
-    def block_body(carry, xs):
-        eps, betas, comp, acum, cass = carry
-        idx, u_blk, z_blk = xs
+    # ``blocks`` is a permutation of [0, m_pad): physically permute every
+    # marker-indexed operand ONCE, stream contiguous slices through the scan
+    # as xs, and invert the permutation once at the end.  This replaces the
+    # per-block gathers/scatters (4 takes + 3 scatter-updates x nblocks) that
+    # otherwise dominate the sweep on TPU.
+    perm = blocks.reshape(-1)
 
-        bed_blk = jnp.take(static.bed, idx, axis=0)
-        mave_blk = jnp.take(static.mave, idx, axis=1)
-        msig_blk = jnp.take(static.msig, idx, axis=1)
-        grp_blk = jnp.take(static.group_of, idx)
-        valid_blk = idx < static.m_local
-        beta_old = jnp.take(betas, idx, axis=1)
-        comp_old = jnp.take(comp, idx, axis=1)
-        acum_old = jnp.take(acum, idx, axis=1)
+    def permuted_blocks(x, axis):
+        """take along ``axis`` then split the marker axis into (nblocks, B),
+        moved to the front for lax.scan xs."""
+        xp = jnp.take(x, perm, axis=axis)
+        if axis == 0:
+            return xp.reshape((nblocks, B) + x.shape[1:])
+        # axis == 1, trait-leading (T, m_pad) -> (nblocks, T, B)
+        xp = xp.reshape(x.shape[0], nblocks, B)
+        return jnp.moveaxis(xp, 1, 0)
+
+    bed_p = permuted_blocks(static.bed, 0)            # (nblocks, B, mb)
+    mave_p = permuted_blocks(static.mave, 1)          # (nblocks, T, B)
+    msig_p = permuted_blocks(static.msig, 1)
+    grp_p = permuted_blocks(static.group_of, 0)       # (nblocks, B)
+    valid_p = (perm < static.m_local).reshape(nblocks, B)
+    beta_old_p = permuted_blocks(betas, 1)
+    comp_old_p = permuted_blocks(comp, 1)
+    acum_old_p = permuted_blocks(acum, 1)
+
+    def block_body(carry, xs):
+        eps, cass = carry
+        (bed_blk, mave_blk, msig_blk, grp_blk, valid_blk,
+         beta_old, comp_old, acum_old, u_blk, z_blk) = xs
 
         craw, graw = gram_fn(bed_blk, eps, na, mave_blk, dtype=dtype)
         c = msig_blk * craw
@@ -108,19 +129,30 @@ def marker_sweep(
         deps = _psum(deps, axis_name)
         eps = eps + deps
 
-        betas = betas.at[:, idx].set(res.beta_new)
-        comp = comp.at[:, idx].set(res.comp_new)
-        acum = acum.at[:, idx].set(res.acum_new)
         cass = cass + res.cass_inc
-        return (eps, betas, comp, acum, cass), None
+        return (eps, cass), (res.beta_new, res.comp_new, res.acum_new)
 
-    cass0 = jnp.zeros((betas.shape[0],) + static.cva.shape, jnp.int32)
+    cass0 = jnp.zeros((T,) + static.cva.shape, jnp.int32)
     if axis_name is not None:
         cass0 = jax.lax.pcast(cass0, (axis_name,), to='varying')
-    (eps, betas, comp, acum, cass_local), _ = jax.lax.scan(
-        block_body, (eps, betas, comp, acum, cass0),
-        (blocks, u_all, z_all),
+    (eps, cass_local), (beta_new_p, comp_new_p, acum_new_p) = jax.lax.scan(
+        block_body, (eps, cass0),
+        (bed_p, mave_p, msig_p, grp_p, valid_p,
+         beta_old_p, comp_old_p, acum_old_p, u_all, z_all),
     )
+
+    # Invert the permutation: position k of the processed stream is marker
+    # perm[k], so marker j lives at inv[j] with inv[perm[k]] = k.
+    inv = jnp.zeros((m_pad,), jnp.int32).at[perm].set(
+        jnp.arange(m_pad, dtype=jnp.int32))
+
+    def unpermute(y):                                  # (nblocks, T, B) ->
+        yp = jnp.moveaxis(y, 0, 1).reshape(T, m_pad)   # (T, m_pad) permuted
+        return jnp.take(yp, inv, axis=1)
+
+    betas = unpermute(beta_new_p)
+    comp = unpermute(comp_new_p)
+    acum = unpermute(acum_new_p)
     return eps, betas, comp, acum, cass_local
 
 
