@@ -12,6 +12,12 @@ reference implementation (the float64 port-of-record oracle of the C++
 code's per-marker recursion), extrapolated from a truncated run.  The C++
 reference itself publishes no numbers (BASELINE.md) and needs MPI+Boost,
 which this image does not ship.
+
+Timing method: everything (data load, jit trace, compile, marker stats) is
+built ONCE; the steady state is the best of REPEATS timed batches of
+MEAS_ITERS back-to-back iterations, each bracketed by block_until_ready.
+(An earlier delta-of-two-process-runs scheme was noise-dominated by
+per-process tracing/compile-cache variance and could even go negative.)
 """
 
 import json
@@ -26,7 +32,7 @@ import numpy as np
 
 
 N, MT, TRAITS = 10_000, 20_000, 4
-WARM_ITERS, MEAS_ITERS = 3, 23
+WARM_ITERS, MEAS_ITERS, REPEATS = 3, 20, 5
 ORACLE_MARKERS = 600  # truncated serial-oracle run, extrapolated
 
 
@@ -41,30 +47,45 @@ def build_dataset(tmp="/tmp/gmrm_bench_data"):
 
 
 def bench_tpu(data_dir):
+    import jax
+    import jax.numpy as jnp
     from gmrm_tpu.config import Options
-    from gmrm_tpu.runner import run_training
+    from gmrm_tpu.runner import load_data, build_static, init_sampler_state
+    from gmrm_tpu.sampler.gibbs import make_gibbs_step
 
-    def run(iters):
-        opt = Options(
-            bed_file=f"{data_dir}/test.bed", dim_file=f"{data_dir}/test.dim",
-            phen_files=[f"{data_dir}/test{i+1}.phen" for i in range(TRAITS)],
-            group_index_file=f"{data_dir}/test.gri",
-            group_mixture_file=f"{data_dir}/test.grm",
-            iterations=iters, seed=42, block_size=128,
-            output_thin_rate=100_000,
-        )
-        return run_training(opt, verbose=False).chain_seconds
+    opt = Options(
+        bed_file=f"{data_dir}/test.bed", dim_file=f"{data_dir}/test.dim",
+        phen_files=[f"{data_dir}/test{i+1}.phen" for i in range(TRAITS)],
+        group_index_file=f"{data_dir}/test.gri",
+        group_mixture_file=f"{data_dir}/test.grm",
+        iterations=1, seed=42, block_size=128, output_thin_rate=100_000,
+    )
+    opt.validate()
+    opt.load_group_mixtures()
+    dtype = jnp.float32
 
-    # Delta method: iterations run fully asynchronously (one device sync at
-    # chain end), so per-iteration time is (t(n_hi) - t(n_lo)) / (n_hi -
-    # n_lo), which cancels both the host-sync overhead (~25 ms on a
-    # tunneled TPU) and any residual first-dispatch cost.
-    run(WARM_ITERS)                       # compile both chain lengths
-    run(MEAS_ITERS)
-    t_lo = min(run(WARM_ITERS) for _ in range(2))
-    t_hi = min(run(MEAS_ITERS) for _ in range(2))
-    steady = (t_hi - t_lo) / (MEAS_ITERS - WARM_ITERS)
-    return MT / steady, steady
+    data = load_data(opt)
+    static = build_static(data, opt, dtype)
+    state = init_sampler_state(data, opt, dtype)
+    use_pallas = jax.default_backend() not in ("cpu",)
+    step = make_gibbs_step(block_size=opt.block_size, use_pallas=use_pallas,
+                           donate=True, shared_na=True)
+
+    it = 1
+    for _ in range(WARM_ITERS):
+        state, _ = step(state, static, jnp.asarray(it, jnp.int32))
+        it += 1
+    jax.block_until_ready(state.sigmae)
+
+    best = float("inf")
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        for _ in range(MEAS_ITERS):
+            state, _ = step(state, static, jnp.asarray(it, jnp.int32))
+            it += 1
+        jax.block_until_ready(state.sigmae)
+        best = min(best, (time.perf_counter() - t0) / MEAS_ITERS)
+    return MT / best, best
 
 
 def bench_oracle_cpu(data_dir):

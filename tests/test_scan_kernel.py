@@ -10,8 +10,13 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
-from gmrm_tpu.ops.scan_kernel import block_scan_pallas
+from gmrm_tpu.ops import scan_kernel, scan_kernel_v3
 from gmrm_tpu.sampler.scan import block_scan
+
+KERNELS = {
+    "v1": scan_kernel.block_scan_pallas,
+    "v3": scan_kernel_v3.block_scan_pallas,
+}
 
 
 def _random_case(rng, T, B, G, K, *, adav_group=None, overflow=False):
@@ -48,8 +53,9 @@ def _random_case(rng, T, B, G, K, *, adav_group=None, overflow=False):
     return args
 
 
+@pytest.mark.parametrize("kernel", sorted(KERNELS))
 @pytest.mark.parametrize("case", ["plain", "adav", "overflow"])
-def test_pallas_scan_matches_block_scan(case):
+def test_pallas_scan_matches_block_scan(case, kernel):
     rng = np.random.default_rng({"plain": 0, "adav": 1, "overflow": 2}[case])
     T, B, G, K = 3, 32, 2, 4
     args = _random_case(
@@ -58,7 +64,7 @@ def test_pallas_scan_matches_block_scan(case):
         overflow=case == "overflow",
     )
     ref = block_scan(*args)
-    out = block_scan_pallas(*args, interpret=True)
+    out = KERNELS[kernel](*args, interpret=True)
 
     np.testing.assert_array_equal(
         np.asarray(out.comp_new), np.asarray(ref.comp_new),
@@ -77,10 +83,12 @@ def test_pallas_scan_matches_block_scan(case):
                                rtol=1e-4, atol=1e-6)
 
 
-def test_pallas_scan_serial_dependency():
+@pytest.mark.parametrize("kernel", sorted(KERNELS))
+def test_pallas_scan_serial_dependency(kernel):
     """The Gram correction must propagate: a strong first marker changes
     the draw of a correlated later marker (exactness of the recursion is
     covered by the oracle tests; this guards the corr buffer wiring)."""
+    block_scan_pallas = KERNELS[kernel]
     rng = np.random.default_rng(7)
     T, B, G, K = 1, 8, 1, 4
     args = list(_random_case(rng, T, B, G, K))
