@@ -7,11 +7,13 @@ Gibbs iterations on the current default JAX device.
 Metric: markers/s per Gibbs sweep (Mt * iters / wall-clock, steady state;
 each marker step serves all 4 traits).
 
-vs_baseline: ratio against the measured single-thread NumPy serial
-reference implementation (the float64 port-of-record oracle of the C++
-code's per-marker recursion), extrapolated from a truncated run.  The C++
-reference itself publishes no numbers (BASELINE.md) and needs MPI+Boost,
-which this image does not ship.
+vs_baseline: ratio against the COMPILED reference gmrm (unmodified
+/root/reference/src built via baseline/Makefile with a single-rank MPI
+stub + boost shims, -Ofast -march=native -fopenmp -DMANVECT), measured on
+this host by baseline/run_baseline.py and recorded in
+baseline/BASELINE_MEASURED.json.  If that record is missing, the harness
+builds and measures it inline; the old single-thread NumPy oracle number
+stays in detail for continuity.
 
 Timing method: everything (data load, jit trace, compile, marker stats) is
 built ONCE; the steady state is the best of REPEATS timed batches of
@@ -68,8 +70,9 @@ def bench_tpu(data_dir):
     static = build_static(data, opt, dtype)
     state = init_sampler_state(data, opt, dtype)
     use_pallas = jax.default_backend() not in ("cpu",)
+    shared_na = all(ph.nas == 0 for ph in data.phens)
     step = make_gibbs_step(block_size=opt.block_size, use_pallas=use_pallas,
-                           donate=True, shared_na=True)
+                           donate=True, shared_na=shared_na)
 
     it = 1
     for _ in range(WARM_ITERS):
@@ -127,6 +130,30 @@ def bench_oracle_cpu(data_dir):
     return m / dt  # markers/s for a full multi-trait sweep
 
 
+def reference_baseline_markers_per_s():
+    """markers/s of the compiled reference gmrm on this class of host.
+
+    Prefers the committed measurement (baseline/BASELINE_MEASURED.json,
+    produced by baseline/run_baseline.py); falls back to building and
+    timing it inline when absent and the reference tree is available.
+    """
+    here = os.path.dirname(os.path.abspath(__file__))
+    rec_path = os.path.join(here, "baseline", "BASELINE_MEASURED.json")
+    if os.path.exists(rec_path):
+        with open(rec_path) as fh:
+            rec = json.load(fh)
+        return rec["markers_per_s"], rec
+    import statistics
+    import subprocess
+    sys.path.insert(0, os.path.join(here, "baseline"))
+    import run_baseline as rb
+    rb.build()
+    iter_s, _, _ = rb.run_reference("/tmp/gmrm_bench_data", 8,
+                                    os.cpu_count())
+    med = statistics.median(iter_s[2:] if len(iter_s) > 4 else iter_s)
+    return MT / med, {"markers_per_s": MT / med, "measured": "inline"}
+
+
 def main():
     t0 = time.perf_counter()
     data_dir = build_dataset()
@@ -134,10 +161,14 @@ def main():
     markers_per_s, steady = bench_tpu(data_dir)
     print(f"# tpu bench done {time.perf_counter()-t0:.1f}s", file=sys.stderr, flush=True)
     try:
-        base = bench_oracle_cpu(data_dir)
-        vs = markers_per_s / base
+        ref, rec = reference_baseline_markers_per_s()
+        vs = markers_per_s / ref
     except Exception:
-        base, vs = None, None
+        ref, rec, vs = None, None, None
+    try:
+        oracle_ms = bench_oracle_cpu(data_dir)
+    except Exception:
+        oracle_ms = None
     out = {
         "metric": "gibbs_markers_per_s",
         "value": round(markers_per_s, 1),
@@ -145,8 +176,12 @@ def main():
         "vs_baseline": round(vs, 2) if vs else None,
         "detail": {
             "iter_ms": round(steady * 1000, 2),
-            "baseline_cpu_serial_markers_per_s":
-                round(base, 1) if base else None,
+            "baseline_compiled_gmrm_markers_per_s":
+                round(ref, 1) if ref else None,
+            "baseline_omp_threads":
+                rec.get("omp_threads") if rec else None,
+            "oracle_numpy_markers_per_s":
+                round(oracle_ms, 1) if oracle_ms else None,
         },
     }
     print(json.dumps(out))
