@@ -1,4 +1,4 @@
-"""Marker-sharded multi-device training via shard_map over a 1-D mesh.
+"""Marker-sharded multi-device / multi-process training via shard_map.
 
 TPU-native replacement for the reference's MPI protocol (SURVEY §2 C10):
 
@@ -12,13 +12,24 @@ TPU-native replacement for the reference's MPI protocol (SURVEY §2 C10):
 - psum of per-group beta^2 / cass  <- MPI_Allreduce (bayes.cpp:575-589);
 - replicated-key hyperparameter draws  <- rank-0 MPI_Bcast
   (bayes.cpp:626-650): every device draws the same values.
+
+Multi-process (multi-host) execution mirrors the reference's per-rank
+genotype loading (bayes.cpp:867-900): after ``jax.distributed.initialize``
+each process reads ONLY its own devices' .bed marker slices and the global
+sharded arrays are assembled with ``jax.make_array_from_process_local_data``
+— no host ever holds the full genotype matrix.  Thinned .bet/.cpn records
+are written by each process for its own marker range (the reference's
+MPI_File_write_at-with-offset scheme, xfiles.hpp:15-38); process 0 writes
+the .csv rows.
 """
 
 from __future__ import annotations
 
+import os
 import time
+from dataclasses import dataclass
 from functools import partial
-from typing import Optional
+from typing import List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -26,16 +37,21 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from gmrm_tpu.config import Options
-from gmrm_tpu.runner import (
-    LoadedData, OutputSet, RunResult, load_data, init_sampler_state,
-    round_up,
-)
 from gmrm_tpu.io.bed import read_bed, bed_bytes_per_marker
-from gmrm_tpu.io.grouping import read_dim
+from gmrm_tpu.io.grouping import read_dim, read_group_index
+from gmrm_tpu.io.phen import read_phen
+from gmrm_tpu.io.writers import (
+    HistoryWriter, format_csv_record, write_csv_record,
+)
 from gmrm_tpu.ops.blockops import marker_stats_jax
+from gmrm_tpu.ops.decode import to_phase_planes
 from gmrm_tpu.parallel.mesh import MARKER_AXIS, make_marker_mesh, marker_blocks
+from gmrm_tpu.runner import RunResult, round_up, stem
+from gmrm_tpu.sampler.dists import beta_11
 from gmrm_tpu.sampler.gibbs import gibbs_iteration
-from gmrm_tpu.sampler.state import SamplerState, StaticInputs, pad_bed
+from gmrm_tpu.sampler.state import (
+    SamplerState, StaticInputs, init_state, pad_bed, pi_prior_from_cva,
+)
 
 
 def _state_specs() -> SamplerState:
@@ -72,45 +88,15 @@ def make_sharded_step(mesh, *, block_size: int, use_pallas: bool = False,
     return jax.jit(sharded, donate_argnums=(0,) if donate else ())
 
 
-def load_data_sharded(opt: Options, n_shards: int) -> LoadedData:
-    """Load the full dataset laid out as n_shards padded marker shards,
-    concatenated: global arrays of length n_shards * m_pad_shard."""
-    n, m_total = read_dim(opt.dim_file)
-    if opt.trunc_markers:
-        m_total = min(m_total, opt.trunc_markers)
-    blocks = marker_blocks(m_total, n_shards)
-    mm = max(ln for _, ln in blocks)
-    m_pad_shard = round_up(max(mm, 1), opt.block_size)
-
-    # Reuse the single-device loader for phenotypes / groups, then re-lay
-    # the marker axis into padded shards.
-    data = load_data(opt, m_pad=round_up(m_total, 1))
-    mb, mb_pad = data.mb, data.mb_pad
-
-    bed_global = data.bed[:m_total]
-    group_global = data.group_of[:m_total]
-
-    bed_sh = np.concatenate([
-        pad_bed(bed_global[s:s + ln], m_pad_shard, mb_pad)
-        for s, ln in blocks
-    ], axis=0)
-    group_sh = np.concatenate([
-        np.concatenate([group_global[s:s + ln],
-                        np.zeros(m_pad_shard - ln, np.int32)])
-        for s, ln in blocks
-    ])
-
-    data.bed = bed_sh
-    data.group_of = group_sh
-    data.m_pad = n_shards * m_pad_shard
-    return data
-
-
 class ShardLayout:
+    """Global marker layout: n_shards blocks, each padded to m_pad_shard."""
+
     def __init__(self, m_total: int, n_shards: int, m_pad_shard: int):
+        self.m_total = m_total
         self.blocks = marker_blocks(m_total, n_shards)
         self.n_shards = n_shards
         self.m_pad_shard = m_pad_shard
+        self.m_pad = n_shards * m_pad_shard
 
     def gather_global(self, arr: np.ndarray) -> np.ndarray:
         """(T, n_shards*m_pad_shard) padded-shard layout -> (T, M_total)."""
@@ -121,9 +107,236 @@ class ShardLayout:
         return np.concatenate(parts, axis=1)
 
 
+@dataclass
+class ProcessData:
+    """Host-side inputs for THIS process's marker shards."""
+    n: int
+    m_total: int
+    mb: int
+    mb_pad: int
+    layout: ShardLayout
+    local_ids: List[int]          # global shard indices on this process
+    bed_local: np.ndarray         # (len(local_ids)*m_pad_shard, mb_pad)
+    group_local: np.ndarray       # (len(local_ids)*m_pad_shard,)
+    m_local_arr: np.ndarray       # (len(local_ids),) real marker counts
+    phens: list
+    eps0: np.ndarray              # (T, 4, mb_pad) replicated
+    na: np.ndarray                # (T, 4, mb_pad)
+    nonas: np.ndarray             # (T,)
+    mtotgrp: np.ndarray           # (G,)
+    out_basenames: List[str]
+
+
+def load_data_process(opt: Options, n_shards: int,
+                      local_ids: Optional[Sequence[int]] = None,
+                      lane_pad: int = 128) -> ProcessData:
+    """Read this process's shards only (reference per-rank load,
+    bayes.cpp:867-900: each rank reads offset 3 + S*mbytes).
+
+    ``local_ids`` defaults to all shards (single-process mode).
+    """
+    n, m_total = read_dim(opt.dim_file)
+    if opt.trunc_markers:
+        m_total = min(m_total, opt.trunc_markers)
+    blocks = marker_blocks(m_total, n_shards)
+    mm = max(ln for _, ln in blocks)
+    m_pad_shard = round_up(max(mm, 1), opt.block_size)
+    layout = ShardLayout(m_total, n_shards, m_pad_shard)
+    if local_ids is None:
+        local_ids = list(range(n_shards))
+    local_ids = list(local_ids)
+
+    mb = bed_bytes_per_marker(n)
+    mb_pad = round_up(mb, lane_pad)
+
+    bed_parts, grp_parts, mloc = [], [], []
+    if opt.group_index_file:
+        gidx_all = read_group_index(opt.group_index_file, opt.n_groups)
+        if gidx_all.shape[0] < m_total:
+            raise IOError(
+                f"group index file has {gidx_all.shape[0]} entries "
+                f"< Mt = {m_total}")
+        gidx_all = gidx_all[:m_total]
+    else:
+        gidx_all = np.zeros(m_total, dtype=np.int32)
+    mtotgrp = np.bincount(gidx_all, minlength=opt.n_groups).astype(np.int32)
+
+    for i in local_ids:
+        s, ln = blocks[i]
+        bed_i = read_bed(opt.bed_file, n, m_total, s, ln)
+        bed_parts.append(pad_bed(bed_i, m_pad_shard, mb_pad))
+        g = np.zeros(m_pad_shard, np.int32)
+        g[:ln] = gidx_all[s:s + ln]
+        grp_parts.append(g)
+        mloc.append(ln)
+
+    phens = [read_phen(fp, n) for fp in opt.phen_files]
+    t = len(phens)
+    eps0 = np.zeros((t, 4, mb_pad))
+    na = np.zeros((t, 4, mb_pad))
+    for i, ph in enumerate(phens):
+        eps0[i, :, :mb] = to_phase_planes(ph.epsilon_padded())
+        na[i, :, :mb] = to_phase_planes(ph.na_vector_padded())
+
+    return ProcessData(
+        n=n, m_total=m_total, mb=mb, mb_pad=mb_pad, layout=layout,
+        local_ids=local_ids,
+        bed_local=np.concatenate(bed_parts, axis=0),
+        group_local=np.concatenate(grp_parts),
+        m_local_arr=np.asarray(mloc, np.int32),
+        phens=phens, eps0=eps0, na=na,
+        nonas=np.array([ph.nonas for ph in phens], np.float64),
+        mtotgrp=mtotgrp,
+        out_basenames=[stem(fp) for fp in opt.phen_files],
+    )
+
+
+def local_shard_ids(mesh) -> List[int]:
+    """Global shard indices whose device lives on this process."""
+    pid = jax.process_index()
+    return [i for i, d in enumerate(mesh.devices.flat)
+            if d.process_index == pid]
+
+
+def make_global(mesh, spec: P, local_np: np.ndarray, dtype=None):
+    """Assemble a global array from this process's local shard data."""
+    if dtype is not None:
+        local_np = np.asarray(local_np, dtype)
+    sh = NamedSharding(mesh, spec)
+    return jax.make_array_from_process_local_data(sh, local_np)
+
+
+def local_marker_slices(arr, layout: ShardLayout, local_ids: Sequence[int]):
+    """Per-local-shard host copies of a (T, m_pad) marker-sharded global
+    array: [(global_start, real_len, (T, real_len) np.ndarray), ...]."""
+    mps = layout.m_pad_shard
+    shards = {sh.index[1].start or 0: np.asarray(sh.data)
+              for sh in arr.addressable_shards}
+    out = []
+    for i in local_ids:
+        s, ln = layout.blocks[i]
+        data = shards[i * mps]
+        out.append((s, ln, data[:, :ln]))
+    return out
+
+
+class ShardedOutputSet:
+    """Per-trait .csv/.bet/.cpn writers for sharded runs: process 0 creates
+    the files, every process writes its own marker ranges (the reference's
+    per-rank positioned writes, xfiles.hpp:15-38)."""
+
+    def __init__(self, opt: Options, data: ProcessData, resume: bool = False):
+        self.enabled = bool(opt.out_dir)
+        self.csv_paths, self.bet, self.cpn = [], [], []
+        if not self.enabled:
+            return
+        pid = jax.process_index()
+        # Process 0 creates (or, on resume, keeps) every file, THEN one
+        # barrier, then the other processes attach without truncating.
+        if pid == 0:
+            opt.ensure_out_dir()
+            for base in data.out_basenames:
+                b = os.path.join(opt.out_dir, base)
+                if not resume and os.path.exists(b + ".csv"):
+                    os.remove(b + ".csv")
+                if resume and os.path.exists(b + ".bet"):
+                    HistoryWriter.open_existing(b + ".bet", data.m_total,
+                                                "f8")
+                else:
+                    HistoryWriter(b + ".bet", data.m_total, "f8")
+                    HistoryWriter(b + ".cpn", data.m_total, "i4")
+        _sync_processes("outputs-create")
+        for base in data.out_basenames:
+            b = os.path.join(opt.out_dir, base)
+            self.csv_paths.append(b + ".csv")
+            self.bet.append(HistoryWriter.open_existing(
+                b + ".bet", data.m_total, "f8"))
+            self.cpn.append(HistoryWriter.open_existing(
+                b + ".cpn", data.m_total, "i4"))
+
+    def write_thinned(self, rec, it, state_host_small, m0_sum, beta_slices,
+                      comp_slices):
+        if not self.enabled:
+            return
+        pid = jax.process_index()
+        sigmag, sigmae, pi = state_host_small
+        for ti in range(len(self.bet)):
+            if pid == 0:
+                row = format_csv_record(it, sigmag[ti], float(sigmae[ti]),
+                                        int(m0_sum[ti]), pi[ti])
+                write_csv_record(self.csv_paths[ti], rec, row)
+            for (s, ln, bdata), (_, _, cdata) in zip(beta_slices[ti],
+                                                     comp_slices[ti]):
+                self.bet[ti].write_record(it, bdata, start=s, rec=rec)
+                self.cpn[ti].write_record(it, cdata.astype(np.int32),
+                                          start=s, rec=rec)
+
+
+def _sync_processes(tag: str):
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices(tag)
+
+
+def _ckpt_path(out_dir: str) -> str:
+    pid = jax.process_index()
+    suffix = f".p{pid}" if jax.process_count() > 1 else ""
+    return os.path.join(out_dir, f"checkpoint{suffix}.npz")
+
+
+_REPLICATED = ("eps", "cass", "sigmag", "sigmae", "pi_est", "mu", "epssum",
+               "key")
+_SHARDED = ("betas", "comp", "acum")
+
+
+def _save_sharded_checkpoint(path, state, it, layout, local_ids, beta_acc,
+                             n_rec):
+    arrays = {f: np.asarray(jax.device_get(getattr(state, f)))
+              for f in _REPLICATED}
+    for f in _SHARDED:
+        slices = local_marker_slices(getattr(state, f), layout, local_ids)
+        for k, (s, ln, d) in enumerate(slices):
+            arrays[f"{f}_{k}"] = d
+    arrays["it"] = np.asarray(it)
+    arrays["n_rec"] = np.asarray(n_rec)
+    arrays["n_local"] = np.asarray(len(local_ids))
+    if beta_acc is not None:
+        arrays["beta_acc"] = beta_acc
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **arrays)
+    os.replace(tmp, path)
+
+
+def _load_sharded_checkpoint(path, layout, local_ids, dtype):
+    with np.load(path) as z:
+        rep = {f: z[f] for f in _REPLICATED}
+        n_local = int(z["n_local"])
+        assert n_local == len(local_ids), \
+            f"checkpoint has {n_local} local shards, runner has " \
+            f"{len(local_ids)} — resume with the same topology"
+        sharded_local = {}
+        for f in _SHARDED:
+            parts = []
+            for k, i in enumerate(local_ids):
+                _, ln = layout.blocks[i]
+                d = z[f"{f}_{k}"]
+                pad = np.zeros((d.shape[0], layout.m_pad_shard - ln), d.dtype)
+                parts.append(np.concatenate([d, pad], axis=1))
+            sharded_local[f] = np.concatenate(parts, axis=1)
+        it = int(z["it"])
+        n_rec = int(z["n_rec"])
+        beta_acc = z["beta_acc"] if "beta_acc" in z.files else None
+    return rep, sharded_local, it, beta_acc, n_rec
+
+
 def run_training_sharded(opt: Options, n_devices: int = 0,
                          verbose: bool = True) -> RunResult:
-    """The --process path over a marker-sharded device mesh."""
+    """The --process path over a marker-sharded device mesh.
+
+    Works single-process (all shards local) and multi-process (call
+    gmrm_tpu.parallel.distributed.init_distributed first; each process
+    loads and writes only its own shards).
+    """
     opt.validate()
     if opt.cva is None:
         opt.load_group_mixtures()
@@ -131,115 +344,178 @@ def run_training_sharded(opt: Options, n_devices: int = 0,
 
     mesh = make_marker_mesh(n_devices)
     d = mesh.devices.size
-    data = load_data_sharded(opt, d)
-    m_pad_shard = data.m_pad // d
-    layout = ShardLayout(data.m_total, d, m_pad_shard)
+    local_ids = local_shard_ids(mesh)
+    data = load_data_process(opt, d, local_ids)
+    layout = data.layout
 
-    # m_local per shard, sharded so each device sees its own scalar.
-    m_local = np.array([ln for _, ln in layout.blocks], np.int32)
+    shard1 = P(MARKER_AXIS)
+    shard2 = P(None, MARKER_AXIS)
+    rep = P()
 
-    # Build static inputs directly (marker stats computed under the mesh).
-    shard1 = NamedSharding(mesh, P(MARKER_AXIS))
-    shard2 = NamedSharding(mesh, P(None, MARKER_AXIS))
-    rep = NamedSharding(mesh, P())
-
-    bed = jax.device_put(jnp.asarray(data.bed), shard1)
-    na = jax.device_put(jnp.asarray(data.na, dtype), rep)
-    nonas = jax.device_put(jnp.asarray(data.nonas, dtype), rep)
+    bed = make_global(mesh, shard1, data.bed_local)
+    na = make_global(mesh, rep, np.asarray(data.na, dtype))
+    nonas = make_global(mesh, rep, np.asarray(data.nonas, dtype))
 
     stats_fn = jax.jit(
         jax.shard_map(
             lambda b, nn, no: marker_stats_jax(b, nn, no, dtype=dtype),
             mesh=mesh,
-            in_specs=(P(MARKER_AXIS), P(), P()),
-            out_specs=P(None, MARKER_AXIS),
+            in_specs=(shard1, rep, rep),
+            out_specs=shard2,
         )
     )
     mave, msig = stats_fn(bed, na, nonas)
-    valid = np.zeros(data.m_pad, bool)
-    for i, (s, ln) in enumerate(layout.blocks):
-        valid[i * m_pad_shard:i * m_pad_shard + ln] = True
-    mave = jnp.where(jnp.asarray(valid)[None, :], mave, 0.0)
-    msig = jnp.where(jnp.asarray(valid)[None, :], msig, 0.0)
+    # Zero the stats on pad rows (all-missing decode gives sb = 0 -> NaN),
+    # using a sharded validity mask assembled process-locally.
+    valid_local = np.zeros(len(local_ids) * layout.m_pad_shard, bool)
+    for k, i in enumerate(local_ids):
+        _, ln = layout.blocks[i]
+        a = k * layout.m_pad_shard
+        valid_local[a:a + ln] = True
+    valid = make_global(mesh, shard1, valid_local)
+    fix = jax.jit(
+        jax.shard_map(
+            lambda x, v: jnp.where(v[None, :], x, 0.0), mesh=mesh,
+            in_specs=(shard2, shard1), out_specs=shard2,
+        )
+    )
+    mave = fix(mave, valid)
+    msig = fix(msig, valid)
 
     static = StaticInputs(
-        bed=bed, na=na,
-        mave=jax.device_put(mave, shard2),
-        msig=jax.device_put(msig, shard2),
-        group_of=jax.device_put(jnp.asarray(data.group_of), shard1),
-        mtotgrp=jax.device_put(jnp.asarray(data.mtotgrp), rep),
+        bed=bed, na=na, mave=mave, msig=msig,
+        group_of=make_global(mesh, shard1, data.group_local),
+        mtotgrp=make_global(mesh, rep, data.mtotgrp),
         nonas=nonas,
-        cva=jax.device_put(jnp.asarray(opt.cva, dtype), rep),
-        cvai=jax.device_put(jnp.asarray(opt.cvai, dtype), rep),
-        n_total=jax.device_put(jnp.asarray(float(data.n), dtype), rep),
-        m_local=jax.device_put(jnp.asarray(m_local), shard1),
+        cva=make_global(mesh, rep, np.asarray(opt.cva, dtype)),
+        cvai=make_global(mesh, rep, np.asarray(opt.cvai, dtype)),
+        n_total=make_global(mesh, rep, np.asarray(float(data.n), dtype)),
+        m_local=make_global(mesh, shard1, data.m_local_arr),
     )
 
-    state = init_sampler_state(data, opt, dtype)
-    # Re-place marker-axis leaves with their shardings.
-    state = state.replace(
-        eps=jax.device_put(state.eps, rep),
-        betas=jax.device_put(state.betas, shard2),
-        comp=jax.device_put(state.comp, shard2),
-        acum=jax.device_put(state.acum, shard2),
-        cass=jax.device_put(state.cass, rep),
-        sigmag=jax.device_put(state.sigmag, rep),
-        sigmae=jax.device_put(state.sigmae, rep),
-        pi_est=jax.device_put(state.pi_est, rep),
-        mu=jax.device_put(state.mu, rep),
-        epssum=jax.device_put(state.epssum, rep),
-        key=jax.device_put(state.key, rep),
+    # --- initial sampler state (replicated leaves identical on every
+    # process: same seed -> same draws, the reference's rank-0 Bcast).
+    import jax.random as jr
+    key = jr.PRNGKey(opt.seed)
+    k_sg, _ = jr.split(key)
+    t = len(data.phens)
+    g, k = opt.cva.shape
+    sigmag0 = np.asarray(beta_11(k_sg, (t, g), dtype=dtype))
+    sigmag0 = np.where(data.mtotgrp[None, :] == 0, 0.0, sigmag0)
+
+    n_local_pad = len(local_ids) * layout.m_pad_shard
+    state = SamplerState(
+        eps=make_global(mesh, rep, np.asarray(data.eps0, dtype)),
+        betas=make_global(mesh, shard2, np.zeros((t, n_local_pad), dtype)),
+        comp=make_global(mesh, shard2,
+                         np.zeros((t, n_local_pad), np.int32)),
+        acum=make_global(mesh, shard2, np.zeros((t, n_local_pad), dtype)),
+        cass=make_global(mesh, rep, np.zeros((t, g, k), np.int32)),
+        sigmag=make_global(mesh, rep, sigmag0.astype(dtype)),
+        sigmae=make_global(mesh, rep, np.zeros((t,), dtype)),
+        pi_est=make_global(
+            mesh, rep,
+            np.broadcast_to(pi_prior_from_cva(np.asarray(opt.cva)),
+                            (t, g, k)).astype(dtype).copy()),
+        mu=make_global(mesh, rep, np.zeros((t,), dtype)),
+        epssum=make_global(mesh, rep, np.zeros((t,), dtype)),
+        key=make_global(mesh, rep, np.asarray(key)),
     )
 
     use_pallas = opt.use_pallas
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu",)
+    shared_na = all(ph.nas == 0 for ph in data.phens)
     step = make_sharded_step(mesh, block_size=opt.block_size,
                              use_pallas=use_pallas,
                              shuffle=opt.shuffle_markers,
-                             shared_na=all(ph.nas == 0 for ph in data.phens))
+                             shared_na=shared_na)
 
-    outputs = OutputSet(opt, data)
-    result = RunResult(state=state)
-    beta_acc = None
+    # --- checkpoint/resume (parity with the single-device runner) --------
+    beta_acc = np.zeros((t, data.m_total), np.float64)
     n_rec = 0
+    start_it = 1
+    ckpt = None
+    if opt.out_dir and (opt.checkpoint_every or opt.resume):
+        if jax.process_index() == 0:
+            opt.ensure_out_dir()
+        _sync_processes("ckpt-dir")
+        ckpt = _ckpt_path(opt.out_dir)
+    resuming = bool(opt.resume and ckpt and os.path.exists(ckpt))
+    if resuming:
+        repv, shl, last_it, acc, n_rec = _load_sharded_checkpoint(
+            ckpt, layout, local_ids, dtype)
+        if acc is not None:
+            beta_acc = acc
+        start_it = last_it + 1
+        state = SamplerState(
+            eps=make_global(mesh, rep, repv["eps"], dtype),
+            betas=make_global(mesh, shard2, shl["betas"], dtype),
+            comp=make_global(mesh, shard2, shl["comp"], np.int32),
+            acum=make_global(mesh, shard2, shl["acum"], dtype),
+            cass=make_global(mesh, rep, repv["cass"], np.int32),
+            sigmag=make_global(mesh, rep, repv["sigmag"], dtype),
+            sigmae=make_global(mesh, rep, repv["sigmae"], dtype),
+            pi_est=make_global(mesh, rep, repv["pi_est"], dtype),
+            mu=make_global(mesh, rep, repv["mu"], dtype),
+            epssum=make_global(mesh, rep, repv["epssum"], dtype),
+            key=make_global(mesh, rep, repv["key"]),
+        )
+        if verbose and jax.process_index() == 0:
+            print(f"INFO   : resuming sharded run from iteration {last_it}")
 
-    for it in range(1, opt.iterations + 1):
+    outputs = ShardedOutputSet(opt, data, resume=resuming)
+    result = RunResult(state=state)
+
+    # Iterations are dispatched back-to-back without per-iteration host
+    # syncs (parity with the single-device runner; a host round-trip costs
+    # ~25 ms on a tunneled TPU).  Hosts sync at thin/checkpoint boundaries.
+    t_chain = time.perf_counter()
+    for it in range(start_it, opt.iterations + 1):
         t0 = time.perf_counter()
         state, aux = step(state, static, jnp.asarray(it, jnp.int32))
         if it % opt.output_thin_rate == 0:
             rec = it // opt.output_thin_rate - 1
-            state_host = jax.device_get(state)
-            aux_host = jax.device_get(aux)
-            betas_g = layout.gather_global(
-                np.asarray(state_host.betas, np.float64))
-            comp_g = layout.gather_global(np.asarray(state_host.comp))
-            if outputs.enabled:
-                sigmag = np.asarray(state_host.sigmag, np.float64)
-                sigmae = np.asarray(state_host.sigmae, np.float64)
-                pi = np.asarray(state_host.pi_est, np.float64)
-                m0 = np.asarray(aux_host.m0)
-                from gmrm_tpu.io.writers import (
-                    format_csv_record, write_csv_record,
-                )
-                for ti in range(len(outputs.bet)):
-                    row = format_csv_record(it, sigmag[ti], float(sigmae[ti]),
-                                            int(m0[ti].sum()), pi[ti])
-                    write_csv_record(outputs.csv_paths[ti], rec, row)
-                    outputs.bet[ti].write_record(it, betas_g[ti], rec=rec)
-                    outputs.cpn[ti].write_record(
-                        it, comp_g[ti].astype(np.int32), rec=rec)
-            if beta_acc is None:
-                beta_acc = np.zeros_like(betas_g)
-            beta_acc += betas_g
+            sigmag = np.asarray(jax.device_get(state.sigmag), np.float64)
+            sigmae = np.asarray(jax.device_get(state.sigmae), np.float64)
+            pi = np.asarray(jax.device_get(state.pi_est), np.float64)
+            m0_sum = np.asarray(jax.device_get(aux.m0)).sum(axis=1)
+            bsl = local_marker_slices(state.betas, layout, local_ids)
+            csl = local_marker_slices(state.comp, layout, local_ids)
+            beta_slices = [[(s, ln, d[ti]) for (s, ln, d) in bsl]
+                           for ti in range(t)]
+            comp_slices = [[(s, ln, d[ti]) for (s, ln, d) in csl]
+                           for ti in range(t)]
+            outputs.write_thinned(rec, it, (sigmag, sigmae, pi), m0_sum,
+                                  beta_slices, comp_slices)
+            for ti in range(t):
+                for s, ln, dslice in beta_slices[ti]:
+                    beta_acc[ti, s:s + ln] += dslice
             n_rec += 1
-        jax.block_until_ready(state.sigmae)
-        result.iter_seconds.append(time.perf_counter() - t0)
+            if verbose and jax.process_index() == 0:
+                sg_sum = sigmag.sum(axis=1)
+                for ti in range(t):
+                    print(f"RESULT : i:{it} p:{ti}  sum sigmaG = "
+                          f"{sg_sum[ti]:20.15f}  sigmaE = "
+                          f"{sigmae[ti]:20.15f}")
         if verbose:
-            print(f"RESULT : It {it}  total proc time = "
-                  f"{result.iter_seconds[-1]:7.3f} sec")
+            jax.block_until_ready(state.sigmae)
+            dt = time.perf_counter() - t0
+            if jax.process_index() == 0:
+                print(f"RESULT : It {it}  total proc time = {dt:7.3f} sec")
+        else:
+            dt = time.perf_counter() - t0
+        result.iter_seconds.append(dt)
+        if ckpt and opt.checkpoint_every and it % opt.checkpoint_every == 0:
+            _save_sharded_checkpoint(ckpt, state, it, layout, local_ids,
+                                     beta_acc, n_rec)
 
+    jax.block_until_ready(state.sigmae)
+    result.chain_seconds = time.perf_counter() - t_chain
+    result.iters_run = opt.iterations - start_it + 1
     result.state = state
     if n_rec:
+        # beta_acc holds only this process's marker ranges; complete for
+        # single-process runs, per-process partial otherwise.
         result.beta_mean = beta_acc / n_rec
     return result

@@ -1,0 +1,56 @@
+"""Worker for the multi-process sharding test (run via subprocess).
+
+Each process joins a 2-process gloo CPU cluster with 4 local virtual
+devices (8 global — the same mesh as the single-process sharding tests),
+runs the sharded trainer, and writes its own marker shards to the shared
+out-dir.  tests/test_multiprocess.py compares the resulting artifacts
+bit-for-bit with a single-process 8-device run: the sampler's draws depend
+only on the global mesh size and seed, not on the process layout, so they
+must be identical.
+
+Usage: python multiprocess_worker.py <pid> <nprocs> <port> <data> <out>
+"""
+
+import os
+import sys
+
+
+def main():
+    pid, nprocs, port = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
+    data_dir, out_dir = sys.argv[4], sys.argv[5]
+
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/gmrm_jax_cache")
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from gmrm_tpu.parallel.distributed import init_distributed
+    init_distributed(coordinator_address=f"localhost:{port}",
+                     num_processes=nprocs, process_id=pid)
+    assert jax.process_count() == nprocs
+    assert len(jax.devices()) == 4 * nprocs
+
+    from gmrm_tpu.config import Options
+    from gmrm_tpu.parallel.runner import run_training_sharded
+
+    phens = sorted(
+        os.path.join(data_dir, f) for f in os.listdir(data_dir)
+        if f.endswith(".phen")
+    )
+    opt = Options(
+        bed_file=f"{data_dir}/test.bed", dim_file=f"{data_dir}/test.dim",
+        phen_files=phens,
+        group_index_file=f"{data_dir}/test.gri",
+        group_mixture_file=f"{data_dir}/test.grm",
+        iterations=10, seed=42, out_dir=out_dir, block_size=16,
+        output_thin_rate=2,
+    )
+    run_training_sharded(opt, verbose=False)
+    print(f"worker {pid}: done", flush=True)
+
+
+if __name__ == "__main__":
+    main()

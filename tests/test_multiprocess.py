@@ -1,0 +1,117 @@
+"""Multi-process (multi-host-simulation) execution tests.
+
+The TPU-world analog of the reference's multi-rank MPI runs
+(bayes.cpp:867-900 per-rank loads + Allgatherv protocol): two OS processes
+x 4 virtual CPU devices each form one 8-device global mesh via
+jax.distributed + gloo.  The sampler's randomness depends only on the
+global mesh size and seed, never on the process layout, so the artifacts
+must match a 1-process x 8-device run up to collective-implementation
+float noise: the cross-process psum (gloo ring) and the in-process XLA
+all-reduce accumulate in different orders, giving ~1e-7 relative
+differences in the residual merges.  Over a short chain those stay tiny
+(asserted at 1e-4); component flips are asserted rare (<1%).
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.fixture(scope="module")
+def mp_dataset(tmp_path_factory):
+    # Simulate in a subprocess so this test module never imports jax into
+    # the pytest process with the wrong device count.
+    d = str(tmp_path_factory.mktemp("mpdata"))
+    code = (
+        "import sys; sys.path.insert(0, %r); "
+        "from gmrm_tpu.io.sim import simulate; "
+        "simulate(%r, n=400, m=300, n_traits=2, n_causal=64, h2=0.5, "
+        "n_groups=2, na_rate=0.02, seed=7)" % (REPO, d)
+    )
+    subprocess.run([sys.executable, "-c", code], check=True, timeout=300)
+    return d
+
+
+def _run_single(data_dir, out_dir):
+    code = f"""
+import os, sys
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/gmrm_jax_cache")
+import jax
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, {REPO!r})
+from gmrm_tpu.config import Options
+from gmrm_tpu.parallel.runner import run_training_sharded
+phens = sorted(os.path.join({data_dir!r}, f) for f in os.listdir({data_dir!r})
+               if f.endswith(".phen"))
+opt = Options(bed_file={data_dir!r} + "/test.bed",
+              dim_file={data_dir!r} + "/test.dim", phen_files=phens,
+              group_index_file={data_dir!r} + "/test.gri",
+              group_mixture_file={data_dir!r} + "/test.grm",
+              iterations=10, seed=42, out_dir={out_dir!r}, block_size=16,
+              output_thin_rate=2)
+run_training_sharded(opt, verbose=False)
+"""
+    subprocess.run([sys.executable, "-c", code], check=True, timeout=900)
+
+
+def test_two_process_run_matches_single_process(mp_dataset, tmp_path):
+    out_mp = str(tmp_path / "out_mp")
+    out_sp = str(tmp_path / "out_sp")
+    port = _free_port()
+
+    worker = os.path.join(HERE, "multiprocess_worker.py")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(pid), "2", str(port), mp_dataset,
+             out_mp],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-3000:]
+
+    _run_single(mp_dataset, out_sp)
+
+    from gmrm_tpu.io.writers import read_history
+    for t in (1, 2):
+        its_mp, bet_mp = read_history(f"{out_mp}/test{t}.bet", "f8")
+        its_sp, bet_sp = read_history(f"{out_sp}/test{t}.bet", "f8")
+        assert np.array_equal(its_mp, its_sp)
+        assert bet_mp.shape == bet_sp.shape
+        np.testing.assert_allclose(
+            bet_mp, bet_sp, rtol=1e-3, atol=1e-5,
+            err_msg=f"trait {t}: 2-process betas diverge beyond "
+                    f"collective float noise")
+        _, cpn_mp = read_history(f"{out_mp}/test{t}.cpn", "i4")
+        _, cpn_sp = read_history(f"{out_sp}/test{t}.cpn", "i4")
+        flip = (cpn_mp != cpn_sp).mean()
+        assert flip < 0.01, f"trait {t}: {flip:.3%} component flips"
+        # csv rows: same count/width, numerically close fields
+        rows_mp = open(f"{out_mp}/test{t}.csv").read().splitlines()
+        rows_sp = open(f"{out_sp}/test{t}.csv").read().splitlines()
+        assert len(rows_mp) == len(rows_sp)
+        for rm, rs in zip(rows_mp, rows_sp):
+            vm = np.array([float(x) for x in rm.split(",")])
+            vs = np.array([float(x) for x in rs.split(",")])
+            np.testing.assert_allclose(vm, vs, rtol=1e-3, atol=1e-5)
