@@ -10,12 +10,12 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
-from gmrm_tpu.ops import scan_kernel, scan_kernel_v3
+from gmrm_tpu.ops import scan_kernel, scan_kernel_spec
 from gmrm_tpu.sampler.scan import block_scan
 
 KERNELS = {
     "v1": scan_kernel.block_scan_pallas,
-    "v3": scan_kernel_v3.block_scan_pallas,
+    "spec": scan_kernel_spec.block_scan_pallas,
 }
 
 
