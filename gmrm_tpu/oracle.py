@@ -136,6 +136,98 @@ def sweep_serial(
             eps += dbeta * msig[j] * (a[j] - mave[j] * b[j]) * na
 
 
+def sweep_replay_sharded(
+    state: OracleState,
+    a: np.ndarray,             # (M, Np) dosage plane (global)
+    b: np.ndarray,             # (M, Np) present plane
+    na: np.ndarray,            # (Np,) phenotype mask
+    mave: np.ndarray,          # (M,)
+    msig: np.ndarray,          # (M,)
+    group_of: np.ndarray,      # (M,) global
+    cva: np.ndarray,
+    cvai: np.ndarray,
+    shard_blocks,              # [(start, len)] global marker block per shard
+    perms,                     # per shard: (m_pad_shard,) local slot order
+    us, zs,                    # per shard: (m_pad_shard,) slot-indexed draws
+    block_size: int,
+    n_total: int,
+) -> None:
+    """D-rank replay of the blocked sharded sweep, updating state in place.
+
+    The TPU sharded sampler's protocol (gmrm_tpu.parallel.runner /
+    sampler.gibbs): at each block step every shard runs its next
+    ``block_size`` markers SERIALLY against the residual as of the block
+    start (its own within-block moves visible through a local copy), then
+    all shards' residual deltas merge — the psum that replaces the
+    reference's per-marker MPI_Allgatherv replay (bayes.cpp:500-553).
+    block_size = 1 reproduces the reference's per-marker cadence exactly.
+
+    Slots >= the shard's real marker count are idle pads (the reference's
+    Mm idle steps, bayes.cpp:375-382).
+    """
+    G, K = state.pi_est.shape
+    m_pad_shard = perms[0].shape[0]
+    assert m_pad_shard % block_size == 0
+    nblocks = m_pad_shard // block_size
+
+    for k in range(nblocks):
+        deps_total = np.zeros_like(state.eps)
+        for d, (start, ln) in enumerate(shard_blocks):
+            eps_d = state.eps.copy()
+            for slot in range(k * block_size, (k + 1) * block_size):
+                jl = int(perms[d][slot])
+                if jl >= ln:
+                    continue                      # pad slot: idle step
+                j = start + jl
+                g = int(group_of[j])
+                if state.sigmag[g] == 0.0:
+                    state.acum[j] = 1.0
+                    state.betas[j] = 0.0
+                    continue
+                beta_old = state.betas[j]
+                sige_g = state.sigmae / state.sigmag[g]
+                sigg_e = 1.0 / sige_g
+                inv2sige = 1.0 / (2.0 * state.sigmae)
+                denom = (n_total - 1.0) + sige_g * cvai[g, 1:K]
+                num = msig[j] * (a[j] @ eps_d - mave[j] * (b[j] @ eps_d))
+                num += beta_old * (state.nonas - 1.0)
+                muk = np.zeros(K)
+                muk[1:] = num / denom
+                logl = np.log(state.pi_est[g]).copy()
+                logl[1:] += (
+                    -0.5 * np.log(sigg_e * (state.nonas - 1.0)
+                                  * cva[g, 1:K] + 1.0)
+                    + muk[1:] * num * inv2sige
+                )
+                p = us[d][slot]
+                if np.any(np.abs(logl - logl[0]) > 700.0):
+                    acum = 0.0
+                else:
+                    acum = 1.0 / np.exp(logl - logl[0]).sum()
+                state.acum[j] = acum
+                for i in range(K):
+                    if p <= state.acum[j] or i == K - 1:
+                        if i == 0:
+                            state.betas[j] = 0.0
+                        else:
+                            sd = np.sqrt(state.sigmae / denom[i - 1])
+                            state.betas[j] = muk[i] + sd * zs[d][slot]
+                        state.cass[g, i] += 1
+                        state.comp[j] = i
+                        break
+                    else:
+                        zero_inc = np.any(
+                            np.abs(logl[i + 1:] - logl[i + 1]) > 700.0)
+                        if not zero_inc:
+                            esum = np.exp(logl - logl[i + 1]).sum()
+                            state.acum[j] += 1.0 / esum
+                dbeta = beta_old - state.betas[j]
+                if dbeta != 0.0:
+                    eps_d += dbeta * msig[j] * (a[j] - mave[j] * b[j]) * na
+            deps_total += eps_d - state.eps
+        state.eps += deps_total
+
+
 def hyper_block(
     state: OracleState,
     group_of: np.ndarray,
