@@ -55,12 +55,17 @@ def bench_tpu(data_dir):
     from gmrm_tpu.runner import load_data, build_static, init_sampler_state
     from gmrm_tpu.sampler.gibbs import make_gibbs_step
 
+    # block_size/wave_size from the measured sweeps in benchmarking/
+    # PROFILE.md; wave_size=16 is the W-co-scheduled-shards relaxation
+    # validated against the compiled reference's chains
+    # (benchmarking/EQUIVALENCE.md, tests/test_scan_kernel.py).
     opt = Options(
         bed_file=f"{data_dir}/test.bed", dim_file=f"{data_dir}/test.dim",
         phen_files=[f"{data_dir}/test{i+1}.phen" for i in range(TRAITS)],
         group_index_file=f"{data_dir}/test.gri",
         group_mixture_file=f"{data_dir}/test.grm",
-        iterations=1, seed=42, block_size=128, output_thin_rate=100_000,
+        iterations=1, seed=42, block_size=128, wave_size=16,
+        output_thin_rate=100_000,
     )
     opt.validate()
     opt.load_group_mixtures()
@@ -72,7 +77,8 @@ def bench_tpu(data_dir):
     use_pallas = jax.default_backend() not in ("cpu",)
     shared_na = all(ph.nas == 0 for ph in data.phens)
     step = make_gibbs_step(block_size=opt.block_size, use_pallas=use_pallas,
-                           donate=True, shared_na=shared_na)
+                           donate=True, shared_na=shared_na,
+                           wave_size=opt.wave_size if use_pallas else 1)
 
     it = 1
     for _ in range(WARM_ITERS):

@@ -105,6 +105,9 @@ def main():
                     help="smaller chain (CI-scale)")
     ap.add_argument("--n", type=int, default=2000)
     ap.add_argument("--m", type=int, default=2000)
+    ap.add_argument("--wave", type=int, default=1,
+                    help="wave_size for our sampler (validates the wave "
+                         "relaxation against the reference chains)")
     args = ap.parse_args()
 
     iterations = 400 if args.quick else 1200
@@ -135,7 +138,8 @@ def main():
             bed_file=sim.bed, dim_file=sim.dim, phen_files=sim.phens,
             group_index_file=sim.gri, group_mixture_file=sim.grm,
             iterations=iterations, seed=42, output_thin_rate=thin,
-            block_size=128,
+            block_size=128, wave_size=args.wave,
+            use_pallas=True if args.wave > 1 else None,
         ),
         ours_out,
     )
@@ -149,7 +153,8 @@ def main():
         f"Chains: {iterations} iterations, thin {thin}, burn-in "
         f"{int(burn * 100)}%.  Reference seed 171014 (boost mt19937), ours "
         f"seed 42 (threefry) — bitwise RNG equality impossible, the target "
-        f"is distributional agreement (SURVEY.md §7).",
+        f"is distributional agreement (SURVEY.md §7).  wave_size="
+        f"{args.wave}.",
         "",
         f"Wall-clock: reference {t_ref:.1f}s "
         f"({os.cpu_count()} OMP threads), ours {t_ours:.1f}s "

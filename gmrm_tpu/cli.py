@@ -47,6 +47,10 @@ def build_parser() -> argparse.ArgumentParser:
     # TPU-native knobs
     p.add_argument("--block-size", type=int, default=256,
                    help="markers per Gram block (residual sync cadence)")
+    p.add_argument("--wave-size", type=int, default=1,
+                   help="markers per serial step within a block (1 = exact "
+                        "serial recursion; W>1 relaxes like W co-scheduled "
+                        "shards — the reference's own multi-rank semantics)")
     p.add_argument("--dtype", default="float32",
                    choices=["float32", "float64"])
     p.add_argument("--devices", type=int, default=0,
@@ -81,6 +85,7 @@ def options_from_args(args) -> Options:
         output_thin_rate=args.output_thin_rate,
         predict=args.predict,
         block_size=args.block_size,
+        wave_size=args.wave_size,
         dtype=args.dtype,
         n_devices=args.devices,
         use_pallas=None if args.use_pallas < 0 else bool(args.use_pallas),

@@ -43,6 +43,10 @@ class Options:
 
     # TPU-native knobs (no reference analog)
     block_size: int = 256           # markers per Gram block (sync cadence)
+    wave_size: int = 1              # markers per serial step within a block
+                                    # (1 = exact serial; W>1 = the same
+                                    # relaxation as W co-scheduled shards,
+                                    # see ops/scan_kernel_wave.py)
     dtype: str = "float32"          # compute dtype for residual/accumulations
     use_pallas: Optional[bool] = None  # None = auto (TPU yes, CPU no)
     n_devices: int = 0              # 0 = all visible devices

@@ -74,11 +74,12 @@ def _static_specs() -> StaticInputs:
 
 def make_sharded_step(mesh, *, block_size: int, use_pallas: bool = False,
                       donate: bool = True, shuffle: bool = True,
-                      shared_na: bool = False):
+                      shared_na: bool = False, wave_size: int = 1):
     """Jitted sharded step (state, static, it) -> (state, aux)."""
     fn = partial(gibbs_iteration, block_size=block_size,
                  axis_name=MARKER_AXIS, use_pallas=use_pallas,
-                 shuffle=shuffle, shared_na=shared_na)
+                 shuffle=shuffle, shared_na=shared_na,
+                 wave_size=wave_size)
     sspec, tspec = _state_specs(), _static_specs()
     sharded = jax.shard_map(
         fn, mesh=mesh,
@@ -429,7 +430,8 @@ def run_training_sharded(opt: Options, n_devices: int = 0,
     step = make_sharded_step(mesh, block_size=opt.block_size,
                              use_pallas=use_pallas,
                              shuffle=opt.shuffle_markers,
-                             shared_na=shared_na)
+                             shared_na=shared_na,
+                             wave_size=opt.wave_size)
 
     # --- checkpoint/resume (parity with the single-device runner) --------
     beta_acc = np.zeros((t, data.m_total), np.float64)

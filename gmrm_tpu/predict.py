@@ -36,7 +36,8 @@ from gmrm_tpu.runner import stem
 
 
 def _chunked_predict_sums(bed, na, mave, msig, beta_mean, y_planes,
-                          keep, dtype=jnp.float32, chunk=512):
+                          keep, dtype=jnp.float32, chunk=512,
+                          axis_name=None):
     """One fused pass: g = sum_j keep_j*beta_j*x_std_j  and per-marker
     (xtx, xty) on uncentered dosages against y_k."""
     m, mb = bed.shape
@@ -78,12 +79,83 @@ def _chunked_predict_sums(bed, na, mave, msig, beta_mean, y_planes,
         padm(keep.astype(np.float32)).reshape(n_chunks, chunk).astype(dtype),
     )
     g0 = jnp.zeros(na.shape, dtype)
+    if axis_name is not None:
+        # Under shard_map the carry absorbs shard-varying inputs.
+        g0 = jax.lax.pcast(g0, (axis_name,), to="varying")
     g, (xtx, xty) = jax.lax.scan(body, g0, xs)
     return g, xtx.reshape(-1)[:m], xty.reshape(-1)[:m]
 
 
+def _beta_mean_streamed(bet_path: str, expect_mtot: int):
+    """Posterior-mean betas, one record at a time (never holds the whole
+    chain — reference reads per-iteration too, bayes.cpp:69-80)."""
+    from gmrm_tpu.io.writers import history_mtot, read_history_stream
+    mtot = history_mtot(bet_path)
+    if mtot != expect_mtot:
+        raise IOError(
+            f"Mismatch between expected and Mtot read from .bet file: "
+            f"{expect_mtot} vs {mtot}"
+        )
+    acc = np.zeros(mtot, np.float64)
+    niter = 0
+    for _, rec in read_history_stream(bet_path, "f8"):
+        acc += rec
+        niter += 1
+    return acc / max(niter, 1), niter
+
+
+def _sharded_predict_sums(bed, na, mave, msig, beta_mean, y_planes, keep,
+                          n_devices, dtype=jnp.float32):
+    """The X.beta / OLS pass over a marker-sharded device mesh: each shard
+    computes its markers' (xtx, xty) and partial genetic value g; psum(g)
+    replaces the reference's MPI_Allreduce (bayes.cpp:136).  Per-marker
+    sums never cross shards, so the outputs are byte-identical to the
+    single-device pass."""
+    from jax.sharding import PartitionSpec as P
+    from gmrm_tpu.parallel.mesh import MARKER_AXIS, make_marker_mesh
+
+    mesh = make_marker_mesh(n_devices)
+    d = mesh.devices.size
+    m, mb = bed.shape
+    m_pad = -(-m // d) * d
+    pad = m_pad - m
+
+    bed_p = np.concatenate(
+        [bed, np.full((pad, mb), 0x55, np.uint8)], axis=0)
+    mave_p = np.concatenate([mave, np.zeros(pad)])
+    msig_p = np.concatenate([msig, np.zeros(pad)])
+    beta_p = np.concatenate([beta_mean, np.zeros(pad)])
+    keep_p = np.concatenate([keep.astype(np.float64), np.zeros(pad)])
+
+    def shard_fn(bed_s, mave_s, msig_s, beta_s, keep_s, na_r, y_r):
+        g_k, xtx, xty = _chunked_predict_sums(
+            bed_s, na_r, mave_s, msig_s, beta_s, y_r,
+            keep_s, dtype=dtype, axis_name=MARKER_AXIS)
+        g = jax.lax.psum(g_k, MARKER_AXIS)
+        return g, xtx, xty
+
+    sh = P(MARKER_AXIS)
+    rep = P()
+    fn = jax.jit(jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(sh, sh, sh, sh, sh, rep, rep),
+        out_specs=(rep, sh, sh),
+    ))
+    g, xtx, xty = fn(
+        jnp.asarray(bed_p), jnp.asarray(mave_p, dtype),
+        jnp.asarray(msig_p, dtype), jnp.asarray(beta_p, dtype),
+        jnp.asarray(keep_p, dtype), na, y_planes,
+    )
+    return g, np.asarray(xtx)[:m], np.asarray(xty)[:m]
+
+
 def run_predict(opt: Options, verbose: bool = True):
-    """Produce <out_dir>/<phen-stem>.mlma for every phenotype."""
+    """Produce <out_dir>/<phen-stem>.mlma for every phenotype.
+
+    Runs marker-sharded over all visible devices (reference predict is
+    MPI-parallel the same way, bayes.cpp:93-136); a single device gives
+    the identical bytes.
+    """
     opt.validate()
     n, m_total = read_dim(opt.dim_file)
     if opt.trunc_markers:
@@ -94,22 +166,16 @@ def run_predict(opt: Options, verbose: bool = True):
     bed = read_bed(opt.bed_file, n, m_total)
     mb = bed.shape[1]
     dtype = jnp.dtype(opt.dtype)
+    n_dev = opt.n_devices or len(jax.devices())
 
     for phen_path in opt.phen_files:
         ph = read_phen(phen_path, n)
         base = os.path.join(opt.out_dir, stem(phen_path))
         bet_path = base + ".bet"
-        iters, chain = read_history(bet_path, "f8")
-        if chain.shape[1] != len(ref_idx):
-            raise IOError(
-                f"Mismatch between expected and Mtot read from .bet file: "
-                f"{len(ref_idx)} vs {chain.shape[1]}"
-            )
-        niter = chain.shape[0]
+        beta_mean, niter = _beta_mean_streamed(bet_path, len(ref_idx))
         if verbose:
             print(f"INFO   : Number of recorded iterations in .bet file: "
                   f"{niter}")
-        beta_mean = chain.mean(axis=0)                      # (Mtot,)
 
         na = jnp.asarray(to_phase_planes(ph.na_vector_padded()), dtype)
         mave, msig = marker_stats_jax(
@@ -126,10 +192,17 @@ def run_predict(opt: Options, verbose: bool = True):
         y = ph.epsilon_padded()                             # centered+scaled
         y_planes = jnp.asarray(to_phase_planes(y), dtype)
 
-        g, xtx, xty = _chunked_predict_sums(
-            bed, na, mave, msig, beta_mean[:m_total], y_planes, keep,
-            dtype=dtype)
-        # Single shard: g_k == g, so y_k = y (reference 1-rank behavior).
+        if n_dev > 1:
+            g, xtx, xty = _sharded_predict_sums(
+                bed, na, mave, msig, beta_mean[:m_total], y_planes, keep,
+                n_devices=opt.n_devices, dtype=dtype)
+        else:
+            g, xtx, xty = _chunked_predict_sums(
+                bed, na, mave, msig, beta_mean[:m_total], y_planes, keep,
+                dtype=dtype)
+        # Single shard: g_k == g, so y_k = y (reference 1-rank behavior;
+        # the sharded pass keeps the same semantics so outputs are
+        # byte-identical across device counts).
         sigma = float(np.asarray(y) @ np.asarray(y)) / ph.nonas
 
         xtx = np.asarray(xtx, np.float64)

@@ -247,7 +247,7 @@ def run_training(opt: Options, verbose: bool = True) -> RunResult:
     shared_na = all(ph.nas == 0 for ph in data.phens)
     step = make_gibbs_step(block_size=opt.block_size, use_pallas=use_pallas,
                            donate=True, shuffle=opt.shuffle_markers,
-                           shared_na=shared_na)
+                           shared_na=shared_na, wave_size=opt.wave_size)
 
     beta_acc = np.zeros_like(np.asarray(state.betas, np.float64))
     n_rec = 0

@@ -54,6 +54,7 @@ def marker_sweep(
     axis_name: Optional[str] = None,
     use_pallas: bool = False,
     shared_na: bool = False,
+    wave_size: int = 1,
 ):
     """The full marker sweep (reference loop bayes.cpp:375-553) over Gram
     blocks, with all randomness injected — directly comparable to the NumPy
@@ -61,6 +62,11 @@ def marker_sweep(
 
     ``shared_na`` is a static hint that all traits share one NA mask (no
     phenotype NAs) — it collapses the per-trait Gram to a single one.
+
+    ``wave_size`` > 1 (Pallas path only) processes markers in waves of W
+    per serial step — the same relaxation as W co-scheduled shards (the
+    reference's own multi-rank semantics, bayes.cpp:375-553); W=1 is the
+    exact serial recursion.  See ops/scan_kernel_wave.py.
     """
     na = static.na
     nonas = static.nonas.astype(eps.dtype)
@@ -77,10 +83,14 @@ def marker_sweep(
         from gmrm_tpu.ops.pallas_kernels import (
             block_gram_pallas, block_eps_update_pallas,
         )
-        from gmrm_tpu.ops.scan_kernel import block_scan_pallas
         gram_fn = functools.partial(block_gram_pallas, shared_na=shared_na)
         upd_fn = block_eps_update_pallas
-        scan_fn = block_scan_pallas
+        if wave_size > 1:
+            from gmrm_tpu.ops.scan_kernel_wave import make_block_scan_wave
+            scan_fn = make_block_scan_wave(wave_size)
+        else:
+            from gmrm_tpu.ops.scan_kernel import block_scan_pallas
+            scan_fn = block_scan_pallas
 
     # ``blocks`` is a permutation of [0, m_pad): physically permute every
     # marker-indexed operand ONCE, stream contiguous slices through the scan
@@ -166,6 +176,7 @@ def gibbs_iteration(
     use_pallas: bool = False,
     shuffle: bool = True,
     shared_na: bool = False,
+    wave_size: int = 1,
 ):
     T, _, mb = state.eps.shape
     m_pad = state.betas.shape[1]
@@ -218,6 +229,7 @@ def gibbs_iteration(
         state.sigmag, sigmae, state.pi_est,
         static, blocks, u_all, z_all,
         axis_name=axis_name, use_pallas=use_pallas, shared_na=shared_na,
+        wave_size=wave_size,
     )
 
     # --- 4. hyperparameter block -----------------------------------------
@@ -263,7 +275,8 @@ def gibbs_iteration(
 
 def make_gibbs_step(*, block_size: int, axis_name: Optional[str] = None,
                     use_pallas: bool = False, donate: bool = True,
-                    shuffle: bool = True, shared_na: bool = False):
+                    shuffle: bool = True, shared_na: bool = False,
+                    wave_size: int = 1):
     """Jitted single-iteration step (state, static, it) -> (state, aux).
 
     ``static`` is a regular argument (not a closure constant) so the bed
@@ -272,5 +285,6 @@ def make_gibbs_step(*, block_size: int, axis_name: Optional[str] = None,
     fn = functools.partial(
         gibbs_iteration, block_size=block_size, axis_name=axis_name,
         use_pallas=use_pallas, shuffle=shuffle, shared_na=shared_na,
+        wave_size=wave_size,
     )
     return jax.jit(fn, donate_argnums=(0,) if donate else ())

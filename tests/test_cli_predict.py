@@ -57,6 +57,23 @@ def test_cli_train_then_predict(sim_small, tmp_path):
     causal = np.abs(sim_small.beta_true[:, 0]) > 0
     assert causal[top].mean() > 0.5
 
+    # Sharded predict (8-device mesh) must be byte-identical to the
+    # single-device pass (VERDICT r1 item 8; per-marker sums never cross
+    # shards).
+    mlma_8dev = open(mlma, "rb").read()
+    rc = main([
+        "--predict",
+        "--bed-file", sim_small.bed,
+        "--dim-file", sim_small.dim,
+        "--phen-files", ",".join(sim_small.phens),
+        "--bim-file", sim_small.bim,
+        "--ref-bim-file", sim_small.bim,
+        "--out-dir", out,
+        "--devices", "1",
+    ])
+    assert rc == 0
+    assert open(mlma, "rb").read() == mlma_8dev
+
 
 def test_cli_missing_args():
     assert main(["--bed-file", "/nonexistent.bed"]) == 1

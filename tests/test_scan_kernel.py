@@ -11,11 +11,13 @@ import jax.numpy as jnp
 import pytest
 
 from gmrm_tpu.ops import scan_kernel, scan_kernel_spec
+from gmrm_tpu.ops.scan_kernel_wave import make_block_scan_wave
 from gmrm_tpu.sampler.scan import block_scan
 
 KERNELS = {
     "v1": scan_kernel.block_scan_pallas,
     "spec": scan_kernel_spec.block_scan_pallas,
+    "wave1": make_block_scan_wave(1),
 }
 
 
@@ -81,6 +83,69 @@ def test_pallas_scan_matches_block_scan(case, kernel):
     np.testing.assert_allclose(np.asarray(out.acum_new),
                                np.asarray(ref.acum_new),
                                rtol=1e-4, atol=1e-6)
+
+
+def _wave_reference_numpy(args, W):
+    """NumPy reference for wave mode: markers within a wave of W draw
+    against the wave-start state (blind to each other); the wave's
+    corrections fold before the next wave.  Built on block_scan applied
+    wave-by-wave with zeroed within-wave Gram."""
+    import jax.numpy as jnp
+    (c, gs, beta_old, comp_old, acum_old, grp, valid, u, z,
+     sigmag, sigmae, pi, cva, cvai, nonas, n_total) = args
+    T, B = c.shape
+    c = np.asarray(c, np.float64).copy()
+    gs_np = np.asarray(gs, np.float64)
+    outs = {k: [] for k in ("dbeta", "beta", "comp", "acum")}
+    cass = None
+    corr = np.zeros((T, B))
+    for w0 in range(0, B, W):
+        s = slice(w0, w0 + W)
+        # zero within-wave coupling: each wave marker sees only corr so far
+        gs_wave = np.zeros((T, W, W))
+        sub = block_scan(
+            jnp.asarray(c[:, s] + corr[:, s], jnp.float32),
+            jnp.asarray(gs_wave, jnp.float32),
+            beta_old[:, s], comp_old[:, s], acum_old[:, s],
+            grp[s], valid[s], u[:, s], z[:, s],
+            sigmag, sigmae, pi, cva, cvai, nonas, n_total,
+        )
+        db = np.asarray(sub.dbeta_eff, np.float64)
+        outs["dbeta"].append(db)
+        outs["beta"].append(np.asarray(sub.beta_new))
+        outs["comp"].append(np.asarray(sub.comp_new))
+        outs["acum"].append(np.asarray(sub.acum_new))
+        cass = sub.cass_inc if cass is None else cass + sub.cass_inc
+        # fold the wave's rank-W correction for all later markers
+        corr += np.einsum("tw,twb->tb", db, gs_np[:, s, :])
+    return (np.concatenate(outs["dbeta"], axis=1),
+            np.concatenate(outs["beta"], axis=1),
+            np.concatenate(outs["comp"], axis=1),
+            np.concatenate(outs["acum"], axis=1),
+            np.asarray(cass))
+
+
+@pytest.mark.parametrize("W", [4, 8])
+def test_wave_kernel_matches_wave_reference(W):
+    """Wave mode (W > 1) vs the NumPy wave-by-wave reference: discrete
+    choices exact, continuous to f32 tolerance.  Uses strong couplings so
+    within-wave blindness actually matters (a bug would flip components)."""
+    rng = np.random.default_rng(11)
+    T, B, G, K = 2, 32, 2, 4
+    args = list(_random_case(rng, T, B, G, K))
+    # strengthen the Gram so corrections are material
+    gs = rng.normal(size=(T, B, B)) * 2.0
+    gs = (gs + np.swapaxes(gs, 1, 2)) / 2
+    args[1] = __import__("jax.numpy", fromlist=["asarray"]).asarray(
+        gs, dtype=np.float32)
+    ref_db, ref_b, ref_c, ref_a, ref_cass = _wave_reference_numpy(args, W)
+    out = make_block_scan_wave(W)(*args, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out.comp_new), ref_c)
+    np.testing.assert_array_equal(np.asarray(out.cass_inc), ref_cass)
+    np.testing.assert_allclose(np.asarray(out.beta_new), ref_b,
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.dbeta_eff), ref_db,
+                               rtol=1e-4, atol=1e-5)
 
 
 @pytest.mark.parametrize("kernel", sorted(KERNELS))
