@@ -90,8 +90,8 @@ def read_bed(
     return data.reshape(n_markers, mbytes)
 
 
-def write_bed(path: str, codes: np.ndarray) -> None:
-    """Write 2-bit genotype codes (n_markers, N) uint8 in {0,1,2,3} to a .bed file."""
+def pack_codes(codes: np.ndarray) -> np.ndarray:
+    """Pack (n_markers, N) uint8 2-bit codes into (n_markers, mbytes) bytes."""
     n_markers, n = codes.shape
     mbytes = bed_bytes_per_marker(n)
     pad = mbytes * 4 - n
@@ -102,9 +102,14 @@ def write_bed(path: str, codes: np.ndarray) -> None:
         )
     c = codes.reshape(n_markers, mbytes, 4).astype(np.uint16)
     packed = (c[:, :, 0] | (c[:, :, 1] << 2) | (c[:, :, 2] << 4) | (c[:, :, 3] << 6))
+    return packed.astype(np.uint8)
+
+
+def write_bed(path: str, codes: np.ndarray) -> None:
+    """Write 2-bit genotype codes (n_markers, N) uint8 in {0,1,2,3} to a .bed file."""
     with open(path, "wb") as fh:
         fh.write(BED_MAGIC)
-        packed.astype(np.uint8).tofile(fh)
+        pack_codes(codes).tofile(fh)
 
 
 def unpack_codes(bed: np.ndarray, n_individuals: int) -> np.ndarray:

@@ -51,31 +51,63 @@ def simulate(
     if n_causal is None:
         n_causal = max(1, m // 4)
 
-    # Genotype codes on the dosage scale {0,1,2}; bed code mapping:
-    # dosage 2 -> code 0, dosage 1 -> code 2, dosage 0 -> code 3.
-    dosage = rng.binomial(2, maf, size=(m, n)).astype(np.uint8)
-    code = np.where(dosage == 2, 0, np.where(dosage == 1, 2, 3)).astype(np.uint8)
+    paths = {}
+    bed_path = os.path.join(out_dir, f"{prefix}.bed")
 
-    # Standardize columns of X (markers) for the effect model.
-    xm = dosage.astype(np.float64)
-    mu = xm.mean(axis=1, keepdims=True)
-    sd = xm.std(axis=1, ddof=1, keepdims=True)
-    sd[sd == 0] = 1.0
-    xs = (xm - mu) / sd                     # (M, N)
+    if m * n <= 200_000_000:
+        # Genotype codes on the dosage scale {0,1,2}; bed code mapping:
+        # dosage 2 -> code 0, dosage 1 -> code 2, dosage 0 -> code 3.
+        dosage = rng.binomial(2, maf, size=(m, n)).astype(np.uint8)
+        code = np.where(dosage == 2, 0,
+                        np.where(dosage == 1, 2, 3)).astype(np.uint8)
 
-    beta = np.zeros((m, n_traits))
-    causal = rng.choice(m, size=n_causal, replace=False)
-    beta[causal] = rng.normal(0.0, np.sqrt(h2 / n_causal), size=(n_causal, n_traits))
+        # Standardize columns of X (markers) for the effect model.
+        xm = dosage.astype(np.float64)
+        mu = xm.mean(axis=1, keepdims=True)
+        sd = xm.std(axis=1, ddof=1, keepdims=True)
+        sd[sd == 0] = 1.0
+        xs = (xm - mu) / sd                 # (M, N)
 
-    g = xs.T @ beta                          # (N, n_traits)
+        beta = np.zeros((m, n_traits))
+        causal = rng.choice(m, size=n_causal, replace=False)
+        beta[causal] = rng.normal(0.0, np.sqrt(h2 / n_causal),
+                                  size=(n_causal, n_traits))
+        g = xs.T @ beta                      # (N, n_traits)
+        write_bed(bed_path, code)
+    else:
+        # Large-scale path: stream marker chunks so peak memory stays
+        # ~O(chunk x N) regardless of M (UKB-scale sims).  Effects are
+        # drawn first (the small path's RNG stream is not reproduced;
+        # large configs have no fixtures pinned to it).
+        beta = np.zeros((m, n_traits))
+        causal = rng.choice(m, size=n_causal, replace=False)
+        beta[causal] = rng.normal(0.0, np.sqrt(h2 / n_causal),
+                                  size=(n_causal, n_traits))
+        g = np.zeros((n, n_traits))
+        chunk = max(1, 200_000_000 // n)
+        with open(bed_path, "wb") as fh:
+            from gmrm_tpu.io.bed import BED_MAGIC, pack_codes
+            fh.write(BED_MAGIC)
+            for s in range(0, m, chunk):
+                e = min(m, s + chunk)
+                dosage = rng.binomial(2, maf, size=(e - s, n)).astype(np.uint8)
+                xm = dosage.astype(np.float64)
+                mu = xm.mean(axis=1, keepdims=True)
+                sd = xm.std(axis=1, ddof=1, keepdims=True)
+                sd[sd == 0] = 1.0
+                bc = beta[s:e]
+                nz = np.flatnonzero(np.any(bc != 0, axis=1))
+                if nz.size:
+                    xs = (xm[nz] - mu[nz]) / sd[nz]
+                    g += xs.T @ bc[nz]
+                code = np.where(dosage == 2, 0,
+                                np.where(dosage == 1, 2, 3)).astype(np.uint8)
+                pack_codes(code).tofile(fh)
+
     vg = g.var(axis=0)
     ve = np.maximum(1.0 - vg, 1e-3)
     y = g + rng.normal(0.0, np.sqrt(ve), size=(n, n_traits))
     h2_real = vg / y.var(axis=0)
-
-    paths = {}
-    bed_path = os.path.join(out_dir, f"{prefix}.bed")
-    write_bed(bed_path, code)
     paths["bed"] = bed_path
 
     dim_path = os.path.join(out_dir, f"{prefix}.dim")

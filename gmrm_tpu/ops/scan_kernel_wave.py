@@ -17,15 +17,23 @@ sampler.scan.block_scan bit-for-bit in tests); W>1 is the throughput mode
 and is validated statistically (multi-seed chain moments + the
 compiled-reference equivalence harness).
 
-Why it is fast: the serial kernel pays ~0.5 us of VPU work per MARKER
-(70% of the whole Gibbs iteration, benchmarking/PROFILE.md); a wave step
-costs about the same as one serial step (all candidate math is (T, W)
-one-VREG ops with traits on sublanes / markers on lanes, and the
-correction is one tiny MXU dot per trait), so the scan cost drops ~W-fold.
+Why it is fast:
+
+- A wave step costs about the same as one serial step (all candidate math
+  is (T, W) one-VREG ops with traits on sublanes / markers on lanes, and
+  the correction is one tiny MXU dot per trait), so the scan cost drops
+  ~W-fold vs the serial kernel.
+- The K*K pairwise log-likelihood differences of the reference's CDF walk
+  (``bayes.cpp:435-477``) are *affine in q = num^2/(2 sigmaE)*:
+  logl_k - logl_i = (lc_k - lc_i) + q * (rd_k - rd_i).  The pair tables
+  (lcd, rdd) are precomputed outside the kernel, laid out j-major /
+  (k,i)-minor, so each wave evaluates ALL K^2 exponentials as ONE packed
+  (T, W*K*K) vector exp instead of K^2 sequential (T, W) exps — the
+  serial-latency chain per wave shrinks by ~an order of magnitude.
 
 Layout: trait axis T on sublanes, marker axis B on lanes.  Waves are
-STATIC lane slices (dynamic lane slicing is illegal on TPU); gs rows are
-static sublane slices.
+STATIC lane slices (dynamic lane slicing is illegal on TPU); the scaled
+Gram ``gs`` keeps its native (T, B, B) layout and is sliced statically.
 """
 
 from __future__ import annotations
@@ -42,10 +50,11 @@ from gmrm_tpu.sampler.scan import BlockScanResult
 
 def _wave_kernel(
     base_ref,        # (T, B) f32
-    lc_ref,          # (K, T, B) f32
+    lcd_ref,         # (T, B*K*K) f32: lc[k2] - lc[i], j-major (k2,i)-minor
+    rdd_ref,         # (T, B*K*K) f32: rd[k2] - rd[i], same layout
     rd_ref,          # (K, T, B) f32
     sqb_ref,         # (K, T, B) f32
-    gs_ref,          # (B, T, B) f32: [j, t, i] = gs[t, j, i]
+    gs_ref,          # (T, B, B) f32 scaled Gram (native block_gram layout)
     beta_old_ref,    # (T, B) f32
     comp_old_ref,    # (T, B) i32
     acum_old_ref,    # (T, B) f32
@@ -61,6 +70,7 @@ def _wave_kernel(
 ):
     T, B = base_ref.shape
     K = n_mix
+    KK = K * K
     W = wave
     assert B % W == 0
     nwaves = B // W
@@ -68,33 +78,44 @@ def _wave_kernel(
     i2se = i2se_ref[:, :]                                    # (T, 1)
     corr_ref[:, :] = jnp.zeros((T, B), jnp.float32)
 
+    # Guard applies to pairs with k2 >= i (bayes.cpp:435-477 walks forward).
+    # Lane layout inside a wave segment is (k2, i)-major, j-minor
+    # (lane = (k2*K + i)*W + j), so every downstream consumer is a STATIC
+    # lane slice — Mosaic cannot shape-cast the minor dims.
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, W * KK), 1)
+    kge = (lane // (K * W)) >= ((lane // W) % K)             # (1, W*KK)
+    KW = K * W
+
     for w in range(nwaves):
         s = slice(w * W, (w + 1) * W)
+        s16 = slice(w * W * KK, (w + 1) * W * KK)
         live = live_ref[:, s] != 0                           # (T, W)
         zerob = zerob_ref[:, s] != 0
         beta_old = beta_old_ref[:, s]
 
         num = base_ref[:, s] + corr_ref[:, s]                # (T, W)
-        ni = num * i2se
-        muk = [num * rd_ref[k][:, s] for k in range(K)]
-        logl = [lc_ref[k][:, s] + muk[k] * ni for k in range(K)]
+        q = num * num * i2se                                 # (T, W)
 
-        # Sequential CDF walk with overflow guards (bayes.cpp:435-477),
-        # unrolled over the K mixture slots.
-        cdf = []
+        # ALL pairwise logl differences in one shot:
+        # d[(k2, i, j)] = lcd + q_j * rdd.
+        qr = pltpu.repeat(q, KK, axis=1)                     # (T, KK*W) tiled
+        d = lcd_ref[:, s16] + qr * rdd_ref[:, s16]           # (T, W*KK)
+        e = jnp.exp(d)
+        over = (jnp.abs(d) > 700.0) & kge
+
+        # Reduce over k2 (the leading KW-sized groups): static lane slices.
+        esum = None
+        guard = None
+        for k2 in range(K):
+            seg = slice(k2 * KW, (k2 + 1) * KW)
+            esum = e[:, seg] if esum is None else esum + e[:, seg]
+            guard = over[:, seg] if guard is None else guard | over[:, seg]
+        sarr = jnp.where(guard, 0.0, 1.0 / esum)             # (T, K*W) i-major
+        cdf = []                                             # running sum
         prev = None
         for i in range(K):
-            guard = None
-            esum = None
-            for k2 in range(K):
-                d = logl[k2] - logl[i]
-                e = jnp.exp(d)
-                esum = e if esum is None else esum + e
-                if k2 >= i:
-                    g = jnp.abs(d) > 700.0
-                    guard = g if guard is None else guard | g
-            s_i = jnp.where(guard, 0.0, 1.0 / esum)
-            prev = s_i if prev is None else prev + s_i
+            si = sarr[:, i * W:(i + 1) * W]                  # (T, W)
+            prev = si if prev is None else prev + si
             cdf.append(prev)
 
         u = u_ref[:, s]
@@ -102,12 +123,12 @@ def _wave_kernel(
         for i in range(K - 1, -1, -1):
             comp = jnp.where(u <= cdf[i], i, comp)
         acum_sel = cdf[K - 1]
-        muk_sel = muk[K - 1]
+        muk_sel = num * rd_ref[K - 1][:, s]
         sqb_sel = sqb_ref[K - 1][:, s]
         for i in range(K - 2, -1, -1):
             is_i = comp == i
             acum_sel = jnp.where(is_i, cdf[i], acum_sel)
-            muk_sel = jnp.where(is_i, muk[i], muk_sel)
+            muk_sel = jnp.where(is_i, num * rd_ref[i][:, s], muk_sel)
             sqb_sel = jnp.where(is_i, sqb_ref[i][:, s], sqb_sel)
 
         beta_samp = jnp.where(comp == 0, 0.0,
@@ -128,7 +149,7 @@ def _wave_kernel(
         def _():
             for t in range(n_traits):
                 row = jax.lax.dot_general(
-                    dbeta[t:t + 1, :], gs_ref[s, t, :],
+                    dbeta[t:t + 1, :], gs_ref[t, s, :],
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )                                            # (1, B)
@@ -141,7 +162,7 @@ def _build_call(T, B, K, W, interpret):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 13,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 14,
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
         scratch_shapes=[pltpu.VMEM((T, B), jnp.float32)],
     )
@@ -195,6 +216,18 @@ def make_block_scan_wave(wave: int):
             * cva_b[None] + 1.0)
         lc = logpi.at[:, :, 1:].add(tail_c)
 
+        # Pairwise tables for the in-kernel vectorized CDF walk, laid out
+        # per wave segment as (k2, i)-major / j-minor lanes (matches the
+        # kernel's static-slice reductions and pltpu.repeat broadcast).
+        nw = B // wave
+
+        def pair_layout(x4):                                   # (T,B,K,K)
+            x5 = x4.reshape(T, nw, wave, K, K)
+            return jnp.transpose(x5, (0, 1, 3, 4, 2)).reshape(T, B * K * K)
+
+        lcd = pair_layout(lc[:, :, :, None] - lc[:, :, None, :])
+        rdd = pair_layout(rd[:, :, :, None] - rd[:, :, None, :])
+
         base = c + beta_old_f * (nonas_f - 1.0)                # (T, B)
         validb = valid[None, :]                                # (1, B)
         live = (validb & (~adav)).astype(jnp.int32)            # (T, B)
@@ -202,11 +235,10 @@ def make_block_scan_wave(wave: int):
 
         call = _build_call(T, B, K, wave, interpret)
         outs = call(
-            base,
-            jnp.transpose(lc, (2, 0, 1)),                      # (K, T, B)
-            jnp.transpose(rd, (2, 0, 1)),
+            base, lcd, rdd,
+            jnp.transpose(rd, (2, 0, 1)),                      # (K, T, B)
             jnp.transpose(sqb, (2, 0, 1)),
-            jnp.transpose(gs, (1, 0, 2)).astype(f32),          # (B, T, B)
+            gs.astype(f32),                                    # (T, B, B)
             beta_old_f, comp_old.astype(jnp.int32),
             acum_old.astype(f32), u.astype(f32), z.astype(f32),
             live, zerob,

@@ -55,6 +55,8 @@ def marker_sweep(
     use_pallas: bool = False,
     shared_na: bool = False,
     wave_size: int = 1,
+    pallas_gram: bool = True,
+    pallas_upd: bool = False,
 ):
     """The full marker sweep (reference loop bayes.cpp:375-553) over Gram
     blocks, with all randomness injected — directly comparable to the NumPy
@@ -76,21 +78,38 @@ def marker_sweep(
     T = betas.shape[0]
     m_pad = nblocks * B
 
-    gram_fn = functools.partial(block_gram, shared_na=shared_na)
-    upd_fn = block_eps_update
     scan_fn = block_scan
     if use_pallas:
-        from gmrm_tpu.ops.pallas_kernels import (
-            block_gram_pallas, block_eps_update_pallas,
-        )
-        gram_fn = functools.partial(block_gram_pallas, shared_na=shared_na)
-        upd_fn = block_eps_update_pallas
         if wave_size > 1:
             from gmrm_tpu.ops.scan_kernel_wave import make_block_scan_wave
             scan_fn = make_block_scan_wave(wave_size)
         else:
             from gmrm_tpu.ops.scan_kernel import block_scan_pallas
             scan_fn = block_scan_pallas
+
+    if use_pallas and pallas_gram:
+        # Fused decode+Gram+scaling and decode+update kernels: packed bed
+        # bytes stream through VMEM, never materializing decoded planes in
+        # HBM (ops/pallas_kernels.py).
+        from gmrm_tpu.ops.pallas_kernels import (
+            block_gram_scaled_pallas, block_eps_update_pallas,
+        )
+        def gram_scaled_fn(bed_blk, eps, mave_blk, msig_blk, dtype):
+            return block_gram_scaled_pallas(
+                bed_blk, eps, na, mave_blk, msig_blk, dtype=dtype,
+                shared_na=shared_na)
+        # The fused update kernel measures SLOWER than the XLA one (its
+        # skinny dots re-pay the in-kernel decode; benchmarking/PROFILE.md),
+        # so XLA update is the default even on the Pallas path.
+        upd_fn = block_eps_update_pallas if pallas_upd else block_eps_update
+    else:
+        def gram_scaled_fn(bed_blk, eps, mave_blk, msig_blk, dtype):
+            craw, graw = block_gram(bed_blk, eps, na, mave_blk, dtype=dtype,
+                                    shared_na=shared_na)
+            c = msig_blk * craw
+            gs = msig_blk[:, :, None] * msig_blk[:, None, :] * graw
+            return c, gs
+        upd_fn = block_eps_update
 
     # ``blocks`` is a permutation of [0, m_pad): physically permute every
     # marker-indexed operand ONCE, stream contiguous slices through the scan
@@ -123,9 +142,7 @@ def marker_sweep(
         (bed_blk, mave_blk, msig_blk, grp_blk, valid_blk,
          beta_old, comp_old, acum_old, u_blk, z_blk) = xs
 
-        craw, graw = gram_fn(bed_blk, eps, na, mave_blk, dtype=dtype)
-        c = msig_blk * craw
-        gs = msig_blk[:, :, None] * msig_blk[:, None, :] * graw
+        c, gs = gram_scaled_fn(bed_blk, eps, mave_blk, msig_blk, dtype)
 
         res = scan_fn(
             c, gs, beta_old, comp_old, acum_old, grp_blk, valid_blk,
@@ -177,6 +194,8 @@ def gibbs_iteration(
     shuffle: bool = True,
     shared_na: bool = False,
     wave_size: int = 1,
+    pallas_gram: bool = True,
+    pallas_upd: bool = False,
 ):
     T, _, mb = state.eps.shape
     m_pad = state.betas.shape[1]
@@ -229,7 +248,7 @@ def gibbs_iteration(
         state.sigmag, sigmae, state.pi_est,
         static, blocks, u_all, z_all,
         axis_name=axis_name, use_pallas=use_pallas, shared_na=shared_na,
-        wave_size=wave_size,
+        wave_size=wave_size, pallas_gram=pallas_gram, pallas_upd=pallas_upd,
     )
 
     # --- 4. hyperparameter block -----------------------------------------
@@ -276,7 +295,8 @@ def gibbs_iteration(
 def make_gibbs_step(*, block_size: int, axis_name: Optional[str] = None,
                     use_pallas: bool = False, donate: bool = True,
                     shuffle: bool = True, shared_na: bool = False,
-                    wave_size: int = 1):
+                    wave_size: int = 1, pallas_gram: bool = True,
+                    pallas_upd: bool = False):
     """Jitted single-iteration step (state, static, it) -> (state, aux).
 
     ``static`` is a regular argument (not a closure constant) so the bed
@@ -285,6 +305,6 @@ def make_gibbs_step(*, block_size: int, axis_name: Optional[str] = None,
     fn = functools.partial(
         gibbs_iteration, block_size=block_size, axis_name=axis_name,
         use_pallas=use_pallas, shuffle=shuffle, shared_na=shared_na,
-        wave_size=wave_size,
+        wave_size=wave_size, pallas_gram=pallas_gram, pallas_upd=pallas_upd,
     )
     return jax.jit(fn, donate_argnums=(0,) if donate else ())
