@@ -41,6 +41,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 HAVE_PALLAS_KERNELS = True
 
+# Test hook: force interpret-mode execution (CPU test suites).
+FORCE_INTERPRET = False
+
 _LANES = 512          # packed-byte lane tile (4 individuals/byte -> 2048)
 _BF16 = jnp.bfloat16
 _F32 = jnp.float32
@@ -211,7 +214,8 @@ def block_gram_scaled_pallas(bed_block, eps, na, mave, msig, *,
 
     B, mb = bed_block.shape
     T = eps.shape[0]
-    call = _build_gram_call(B, mb, T, bool(shared_na), bool(interpret))
+    call = _build_gram_call(B, mb, T, bool(shared_na),
+                            bool(interpret or FORCE_INTERPRET))
     na_in = na[0] if shared_na else na
     c, gs = call(bed_block, eps.astype(_F32), na_in.astype(_F32),
                  mave.astype(_F32), msig.astype(_F32))
@@ -281,6 +285,7 @@ def block_eps_update_pallas(bed_block, dbeta_scaled, na, mave, *,
     T = dbeta_scaled.shape[0]
     d = dbeta_scaled.astype(_F32)
     lhs = jnp.concatenate([d, -(mave.astype(_F32) * d)], axis=1)  # (T, 2B)
-    call = _build_eps_update_call(B, mb, T, bool(interpret))
+    call = _build_eps_update_call(B, mb, T,
+                                  bool(interpret or FORCE_INTERPRET))
     deps = call(bed_block, lhs, na.astype(_F32))
     return deps.astype(dtype)

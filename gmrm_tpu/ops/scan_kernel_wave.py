@@ -47,6 +47,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from gmrm_tpu.sampler.scan import BlockScanResult
 
+# Test hook: force interpret-mode execution (CPU test suites).
+FORCE_INTERPRET = False
+
 
 def _wave_kernel(
     base_ref,        # (T, B) f32
@@ -54,7 +57,8 @@ def _wave_kernel(
     rdd_ref,         # (T, B*K*K) f32: rd[k2] - rd[i], same layout
     rd_ref,          # (K, T, B) f32
     sqb_ref,         # (K, T, B) f32
-    gs_ref,          # (T, B, B) f32 scaled Gram (native block_gram layout)
+    gs_ref,          # (T*B, B) f32 scaled Gram, wave-stacked rows:
+                     #   row w*(T*W) + t*W + j  =  gs[t, w*W + j, :]
     beta_old_ref,    # (T, B) f32
     comp_old_ref,    # (T, B) i32
     acum_old_ref,    # (T, B) f32
@@ -85,6 +89,14 @@ def _wave_kernel(
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, W * KK), 1)
     kge = (lane // (K * W)) >= ((lane // W) % K)             # (1, W*KK)
     KW = K * W
+
+    # Block-diagonal selector for the one-dot correction fold:
+    # diag_mask[t, r*W + j] = (r == t).
+    TW = T * W
+    diag_mask = (
+        jax.lax.broadcasted_iota(jnp.int32, (T, TW), 1) // W
+        == jax.lax.broadcasted_iota(jnp.int32, (T, TW), 0)
+    )
 
     for w in range(nwaves):
         s = slice(w * W, (w + 1) * W)
@@ -142,18 +154,20 @@ def _wave_kernel(
         acum_new_ref[:, s] = jnp.where(
             live, acum_sel, jnp.where(zerob, 1.0, acum_old_ref[:, s]))
 
-        # Fold the wave's rank-W correction: one (1, W) x (W, B) MXU dot
-        # per trait.  Skipped entirely when the wave produced no moves
-        # (the common converged-chain case).
+        # Fold the wave's rank-W correction for ALL traits in ONE MXU dot:
+        # corr += M @ G with M (T, T*W) block-diagonal in dbeta and
+        # G (T*W, B) the wave's stacked per-trait Gram rows.  (T serial
+        # per-trait dots were the wave step's latency bottleneck.)
+        # Skipped entirely when the wave produced no moves.
         @pl.when(jnp.any(dbeta != 0.0))
         def _():
-            for t in range(n_traits):
-                row = jax.lax.dot_general(
-                    dbeta[t:t + 1, :], gs_ref[t, s, :],
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )                                            # (1, B)
-                corr_ref[t:t + 1, :] = corr_ref[t:t + 1, :] + row
+            G = gs_ref[w * TW:(w + 1) * TW, :]               # (T*W, B)
+            m_blk = jnp.where(
+                diag_mask, pltpu.repeat(dbeta, T, axis=1), 0.0)  # (T, T*W)
+            corr_ref[...] = corr_ref[...] + jax.lax.dot_general(
+                m_blk, G, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
 
 
 @functools.lru_cache(maxsize=64)
@@ -233,12 +247,17 @@ def make_block_scan_wave(wave: int):
         live = (validb & (~adav)).astype(jnp.int32)            # (T, B)
         zerob = (validb & adav).astype(jnp.int32)
 
-        call = _build_call(T, B, K, wave, interpret)
+        # Wave-stacked Gram rows: row w*(T*wave) + t*wave + j.
+        gs_ws = jnp.transpose(
+            gs.astype(f32).reshape(T, nw, wave, B), (1, 0, 2, 3)
+        ).reshape(T * B, B)
+
+        call = _build_call(T, B, K, wave, interpret or FORCE_INTERPRET)
         outs = call(
             base, lcd, rdd,
             jnp.transpose(rd, (2, 0, 1)),                      # (K, T, B)
             jnp.transpose(sqb, (2, 0, 1)),
-            gs.astype(f32),                                    # (T, B, B)
+            gs_ws,                                             # (T*B, B)
             beta_old_f, comp_old.astype(jnp.int32),
             acum_old.astype(f32), u.astype(f32), z.astype(f32),
             live, zerob,

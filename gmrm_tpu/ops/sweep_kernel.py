@@ -1,0 +1,423 @@
+"""Whole-sweep mega-kernel: the full marker sweep in ONE pallas_call.
+
+The production sweep is a serial chain over ``nblocks`` Gram blocks
+(gibbs.marker_sweep): per block a Gram kernel, a wave-scan kernel, and a
+residual-update kernel, glued by XLA inside a ``lax.scan``.  That costs
+three kernel launches per block, an HBM round trip for the (T, B, B)
+scaled Gram, and two decodes of the block's packed bytes.
+
+Here the whole sweep is one Pallas program with ``grid=(nblocks,)``.  TPU
+grid steps execute sequentially on the core — exactly the sweep's data
+dependence — while the next block's packed bed tile is DMA'd in parallel
+by the pipeline.  The residual ``eps`` lives in a VMEM scratch for the
+entire sweep; the Gram never touches HBM; bed bytes are read once per
+block (decoded twice in-register: Gram + update).
+
+Per grid step b:
+  1. fused decode + Gram over lane tiles (as ops/pallas_kernels.py),
+  2. the wave scan (as ops/scan_kernel_wave.py) on the in-VMEM c/gs,
+  3. fused decode + rank-W residual update applied to the eps scratch,
+  4. per-block outputs (beta/comp/acum/dbeta) written to their slots.
+
+Single-device path only: the multi-device sweep needs a psum of the block
+residual delta between blocks (gibbs.marker_sweep keeps that structure).
+
+Shape requirements: ``mb_pad`` (packed bytes per marker) must be a
+multiple of the 512-byte lane tile and every plane input padded
+accordingly (pad bytes 0x55 decode to zero — io/bed.py MISSING_BYTE), so
+the tile loop needs no masking.  VMEM budget: the full (B, mb_pad) bed
+block plus four (T, 4, mb_pad) planes must fit (~N <= 32k individuals at
+B = 128); larger N falls back to the per-block kernels.
+
+Reference mapping: the fused math is the same restructuring of
+``src/bayes.cpp:375-553`` documented in ops/blockops.py,
+ops/pallas_kernels.py and ops/scan_kernel_wave.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gmrm_tpu.ops.pallas_kernels import _decode_tile, _LANES
+
+_BF16 = jnp.bfloat16
+_F32 = jnp.float32
+
+# Test hook: force interpret-mode execution (CPU test suites).
+FORCE_INTERPRET = False
+
+
+def vmem_fits(n_traits: int, block_size: int, mb_pad: int,
+              budget_bytes: int = 12 * 1024 * 1024) -> bool:
+    """Conservative VMEM feasibility estimate for the mega-kernel."""
+    bed = 2 * block_size * mb_pad                      # double-buffered u8
+    planes = 4 * n_traits * 4 * mb_pad * 4             # eps0/na/eps_s/out f32
+    gram = (2 * block_size) ** 2 * 4 + \
+        n_traits * block_size * block_size * 4         # gfull + gs
+    transients = 3 * (2 * block_size) * 4 * _LANES * 2   # a/b/ab bf16 tiles
+    return bed + planes + gram + transients < budget_bytes
+
+
+def _sweep_kernel(
+    # inputs (per grid step b unless noted)
+    bed_ref,         # (B, mb_pad) u8
+    eps0_ref,        # (T, 4, mb_pad) f32   [grid-constant]
+    na_ref,          # (NT, 4, mb_pad) f32  [grid-constant; NT=1 if shared]
+    mave_ref,        # (1, T, B) f32
+    msig_ref,        # (1, T, B) f32
+    beta_old_ref,    # (1, T, B) f32
+    comp_old_ref,    # (1, T, B) i32
+    acum_old_ref,    # (1, T, B) f32
+    u_ref, z_ref,    # (1, T, B) f32
+    live_ref,        # (1, T, B) i32
+    zerob_ref,       # (1, T, B) i32
+    lcd_ref,         # (1, T, B*K*K) f32
+    rdd_ref,         # (1, T, B*K*K) f32
+    rd_ref,          # (1, K, T, B) f32
+    sqb_ref,         # (1, K, T, B) f32
+    i2se_ref,        # (T, 1) f32           [grid-constant]
+    nonas_ref,       # (T, 1) f32           [grid-constant]
+    # outputs
+    eps_out_ref,     # (T, 4, mb_pad) f32   [written at last step]
+    dbeta_ref,       # (1, T, B) f32
+    beta_new_ref,    # (1, T, B) f32
+    comp_new_ref,    # (1, T, B) i32
+    acum_new_ref,    # (1, T, B) f32
+    # scratch
+    eps_s,           # (T, 4, mb_pad) f32
+    gfull_s,         # (NT, 2B, 2B) f32
+    cab_s,           # (2T, 2B) f32
+    gs_s,            # (T*B, B) f32 wave-stacked
+    corr_s,          # (T, B) f32
+    dbeta_s,         # (T, B) f32
+    *, n_mix: int, n_traits: int, wave: int, shared_na: bool,
+):
+    b = pl.program_id(0)
+    nb = pl.num_programs(0)
+    T = n_traits
+    B = bed_ref.shape[0]
+    mb_pad = bed_ref.shape[1]
+    K = n_mix
+    KK = K * K
+    W = wave
+    TW = T * W
+    nwaves = B // W
+    TN = _LANES
+    ntiles = mb_pad // TN
+
+    @pl.when(b == 0)
+    def _():
+        eps_s[...] = eps0_ref[...]
+
+    # ---- phase 1: fused decode + Gram over lane tiles -------------------
+    gfull_s[...] = jnp.zeros(gfull_s.shape, _F32)
+    cab_s[...] = jnp.zeros(cab_s.shape, _F32)
+
+    def gram_tile(i, _):
+        off = pl.multiple_of(i * TN, TN)
+        bed_t = bed_ref[:, pl.ds(off, TN)]               # (B, TN) u8
+        full = jnp.ones((1, TN), bool)
+        a, b2 = _decode_tile(bed_t, full)                 # (B, 4TN) bf16
+        ab = jnp.concatenate([a, b2], axis=0)             # (2B, 4TN)
+
+        eps_t = jnp.concatenate(
+            [eps_s[:, k, pl.ds(off, TN)] for k in range(4)], axis=1)
+        hi = eps_t.astype(_BF16)
+        lo = (eps_t - hi.astype(_F32)).astype(_BF16)
+        rhs = jnp.concatenate([hi, lo], axis=0)           # (2T, 4TN)
+        cab_s[...] += jax.lax.dot_general(
+            rhs, ab, (((1,), (1,)), ((), ())),
+            preferred_element_type=_F32)
+
+        nt_range = 1 if shared_na else T
+        for t in range(nt_range):
+            na_t = jnp.concatenate(
+                [na_ref[t, k:k + 1, pl.ds(off, TN)] for k in range(4)],
+                axis=1).astype(_BF16)                     # (1, 4TN)
+            gfull_s[t] += jax.lax.dot_general(
+                ab * na_t, ab, (((1,), (1,)), ((), ())),
+                preferred_element_type=_F32)
+        return 0
+
+    jax.lax.fori_loop(0, ntiles, gram_tile, 0)
+
+    # ---- finalize c, base and the wave-stacked scaled Gram --------------
+    mave = mave_ref[0]                                    # (T, B)
+    msig = msig_ref[0]
+    cab = cab_s[...]
+    csum = cab[:T] + cab[T:]                              # (T, 2B)
+    craw = csum[:, :B] - mave * csum[:, B:]
+    c = msig * craw                                       # (T, B)
+    base = c + beta_old_ref[0] * (nonas_ref[...] - 1.0)   # (T, B)
+
+    for t in range(T):
+        gf = gfull_s[0 if shared_na else t]               # (2B, 2B)
+        g1 = gf[:B, :B]
+        g2 = gf[B:, :B]
+        g2t = gf[:B, B:]
+        g3 = gf[B:, B:]
+        mr = mave[t:t + 1, :]
+        mc = jnp.transpose(mr)
+        sr = msig[t:t + 1, :]
+        sc = jnp.transpose(sr)
+        gst = (sc * sr) * (g1 - mr * g2t - mc * g2 + (mc * mr) * g3)
+        for w in range(nwaves):
+            gs_s[w * TW + t * W:w * TW + (t + 1) * W, :] = \
+                gst[w * W:(w + 1) * W, :]
+
+    # ---- phase 2: wave scan (ops/scan_kernel_wave.py math) --------------
+    i2se = i2se_ref[...]                                  # (T, 1)
+    corr_s[...] = jnp.zeros((T, B), _F32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, W * KK), 1)
+    kge = (lane // (K * W)) >= ((lane // W) % K)
+    diag_mask = (
+        jax.lax.broadcasted_iota(jnp.int32, (T, TW), 1) // W
+        == jax.lax.broadcasted_iota(jnp.int32, (T, TW), 0)
+    )
+
+    for w in range(nwaves):
+        s = slice(w * W, (w + 1) * W)
+        s16 = slice(w * W * KK, (w + 1) * W * KK)
+        live = live_ref[0][:, s] != 0
+        zerob = zerob_ref[0][:, s] != 0
+        beta_old = beta_old_ref[0][:, s]
+
+        num = base[:, s] + corr_s[:, s]
+        q = num * num * i2se
+        qr = pltpu.repeat(q, KK, axis=1)
+        d = lcd_ref[0][:, s16] + qr * rdd_ref[0][:, s16]
+        e = jnp.exp(d)
+        over = (jnp.abs(d) > 700.0) & kge
+
+        esum = None
+        guard = None
+        for k2 in range(K):
+            seg = slice(k2 * K * W, (k2 + 1) * K * W)
+            esum = e[:, seg] if esum is None else esum + e[:, seg]
+            guard = over[:, seg] if guard is None else guard | over[:, seg]
+        sarr = jnp.where(guard, 0.0, 1.0 / esum)          # (T, K*W)
+        cdf = []
+        prev = None
+        for i in range(K):
+            si = sarr[:, i * W:(i + 1) * W]
+            prev = si if prev is None else prev + si
+            cdf.append(prev)
+
+        u = u_ref[0][:, s]
+        comp = jnp.full((T, W), K - 1, jnp.int32)
+        for i in range(K - 1, -1, -1):
+            comp = jnp.where(u <= cdf[i], i, comp)
+        acum_sel = cdf[K - 1]
+        muk_sel = num * rd_ref[0][K - 1][:, s]
+        sqb_sel = sqb_ref[0][K - 1][:, s]
+        for i in range(K - 2, -1, -1):
+            is_i = comp == i
+            acum_sel = jnp.where(is_i, cdf[i], acum_sel)
+            muk_sel = jnp.where(is_i, num * rd_ref[0][i][:, s], muk_sel)
+            sqb_sel = jnp.where(is_i, sqb_ref[0][i][:, s], sqb_sel)
+
+        beta_samp = jnp.where(comp == 0, 0.0,
+                              muk_sel + sqb_sel * z_ref[0][:, s])
+        dbeta = jnp.where(live, beta_old - beta_samp, 0.0)
+
+        dbeta_s[:, s] = dbeta
+        dbeta_ref[0, :, s] = dbeta
+        beta_new_ref[0, :, s] = jnp.where(
+            live, beta_samp, jnp.where(zerob, 0.0, beta_old))
+        comp_new_ref[0, :, s] = jnp.where(live, comp, comp_old_ref[0, :, s])
+        acum_new_ref[0, :, s] = jnp.where(
+            live, acum_sel, jnp.where(zerob, 1.0, acum_old_ref[0, :, s]))
+
+        @pl.when(jnp.any(dbeta != 0.0))
+        def _():
+            G = gs_s[w * TW:(w + 1) * TW, :]              # (T*W, B)
+            m_blk = jnp.where(
+                diag_mask, pltpu.repeat(dbeta, T, axis=1), 0.0)
+            corr_s[...] = corr_s[...] + jax.lax.dot_general(
+                m_blk, G, (((1,), (0,)), ((), ())),
+                preferred_element_type=_F32)
+
+    # ---- phase 3: fused decode + residual update ------------------------
+    dscaled = msig * dbeta_s[...]                         # (T, B)
+    lhs = jnp.concatenate([dscaled, -(mave * dscaled)], axis=1)  # (T, 2B)
+    hi = lhs.astype(_BF16)
+    lo = (lhs - hi.astype(_F32)).astype(_BF16)
+    lhs2 = jnp.concatenate([hi, lo], axis=0)              # (2T, 2B)
+
+    def upd_tile(i, _):
+        off = pl.multiple_of(i * TN, TN)
+        bed_t = bed_ref[:, pl.ds(off, TN)]
+        full = jnp.ones((1, TN), bool)
+        a, b2 = _decode_tile(bed_t, full)
+        ab = jnp.concatenate([a, b2], axis=0)             # (2B, 4TN)
+        out = jax.lax.dot_general(
+            lhs2, ab, (((1,), (0,)), ((), ())),
+            preferred_element_type=_F32)                  # (2T, 4TN)
+        deps = out[:T] + out[T:]
+        for k in range(4):
+            if shared_na:
+                na_k = na_ref[0, k:k + 1, pl.ds(off, TN)]    # (1, TN)
+            else:
+                na_k = na_ref[:, k, pl.ds(off, TN)]          # (T, TN)
+            eps_s[:, k, pl.ds(off, TN)] += \
+                deps[:, k * TN:(k + 1) * TN] * na_k
+        return 0
+
+    jax.lax.fori_loop(0, ntiles, upd_tile, 0)
+
+    @pl.when(b == nb - 1)
+    def _():
+        eps_out_ref[...] = eps_s[...]
+
+
+@functools.lru_cache(maxsize=None)
+def _build_sweep_call(nblocks, B, mb_pad, T, K, W, shared_na, interpret):
+    NT = 1 if shared_na else T
+    KK = K * K
+    kern = functools.partial(_sweep_kernel, n_mix=K, n_traits=T, wave=W,
+                             shared_na=shared_na)
+    in_specs = [
+        pl.BlockSpec((B, mb_pad), lambda b: (b, 0)),            # bed
+        pl.BlockSpec((T, 4, mb_pad), lambda b: (0, 0, 0)),      # eps0
+        pl.BlockSpec((NT, 4, mb_pad), lambda b: (0, 0, 0)),     # na
+        pl.BlockSpec((1, T, B), lambda b: (b, 0, 0)),           # mave
+        pl.BlockSpec((1, T, B), lambda b: (b, 0, 0)),           # msig
+        pl.BlockSpec((1, T, B), lambda b: (b, 0, 0)),           # beta_old
+        pl.BlockSpec((1, T, B), lambda b: (b, 0, 0)),           # comp_old
+        pl.BlockSpec((1, T, B), lambda b: (b, 0, 0)),           # acum_old
+        pl.BlockSpec((1, T, B), lambda b: (b, 0, 0)),           # u
+        pl.BlockSpec((1, T, B), lambda b: (b, 0, 0)),           # z
+        pl.BlockSpec((1, T, B), lambda b: (b, 0, 0)),           # live
+        pl.BlockSpec((1, T, B), lambda b: (b, 0, 0)),           # zerob
+        pl.BlockSpec((1, T, B * KK), lambda b: (b, 0, 0)),      # lcd
+        pl.BlockSpec((1, T, B * KK), lambda b: (b, 0, 0)),      # rdd
+        pl.BlockSpec((1, K, T, B), lambda b: (b, 0, 0, 0)),     # rd
+        pl.BlockSpec((1, K, T, B), lambda b: (b, 0, 0, 0)),     # sqb
+        pl.BlockSpec((T, 1), lambda b: (0, 0)),                 # i2se
+        pl.BlockSpec((T, 1), lambda b: (0, 0)),                 # nonas
+    ]
+    out_specs = [
+        pl.BlockSpec((T, 4, mb_pad), lambda b: (0, 0, 0)),      # eps_out
+        pl.BlockSpec((1, T, B), lambda b: (b, 0, 0)),           # dbeta
+        pl.BlockSpec((1, T, B), lambda b: (b, 0, 0)),           # beta_new
+        pl.BlockSpec((1, T, B), lambda b: (b, 0, 0)),           # comp_new
+        pl.BlockSpec((1, T, B), lambda b: (b, 0, 0)),           # acum_new
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((T, 4, mb_pad), _F32),
+        jax.ShapeDtypeStruct((nblocks, T, B), _F32),
+        jax.ShapeDtypeStruct((nblocks, T, B), _F32),
+        jax.ShapeDtypeStruct((nblocks, T, B), jnp.int32),
+        jax.ShapeDtypeStruct((nblocks, T, B), _F32),
+    ]
+    scratch = [
+        pltpu.VMEM((T, 4, mb_pad), _F32),                       # eps_s
+        pltpu.VMEM((NT, 2 * B, 2 * B), _F32),                   # gfull
+        pltpu.VMEM((2 * T, 2 * B), _F32),                       # cab
+        pltpu.VMEM((T * B, B), _F32),                           # gs
+        pltpu.VMEM((T, B), _F32),                               # corr
+        pltpu.VMEM((T, B), _F32),                               # dbeta
+    ]
+    return pl.pallas_call(
+        kern, grid=(nblocks,),
+        in_specs=in_specs, out_specs=out_specs, out_shape=out_shape,
+        scratch_shapes=scratch, interpret=interpret,
+    )
+
+
+def sweep_blocks_pallas(
+    bed_p, eps0, na, mave_p, msig_p,
+    beta_old_p, comp_old_p, acum_old_p, u_p, z_p, live_p, zerob_p,
+    lcd_p, rdd_p, rd_p, sqb_p, i2se, nonas_col,
+    *, wave: int, shared_na: bool, interpret: bool = False,
+):
+    """Run the whole-sweep mega-kernel.
+
+    bed_p (nblocks*B, mb_pad) u8; eps0/na (T|1, 4, mb_pad) f32; the *_p
+    arrays (nblocks, ...) per-block prep (see gibbs.marker_sweep).
+    Returns (eps_out, dbeta_p, beta_new_p, comp_new_p, acum_new_p).
+    """
+    nblocks, T, B = beta_old_p.shape
+    K = rd_p.shape[1]
+    mb_pad = bed_p.shape[1]
+    assert mb_pad % _LANES == 0, "pad packed columns to the lane tile"
+    assert bed_p.shape[0] == nblocks * B
+    call = _build_sweep_call(nblocks, B, mb_pad, T, K, wave,
+                             bool(shared_na),
+                             bool(interpret or FORCE_INTERPRET))
+    na_in = na[:1] if shared_na else na
+    return call(
+        bed_p, eps0.astype(_F32), na_in.astype(_F32),
+        mave_p.astype(_F32), msig_p.astype(_F32),
+        beta_old_p.astype(_F32), comp_old_p.astype(jnp.int32),
+        acum_old_p.astype(_F32), u_p.astype(_F32), z_p.astype(_F32),
+        live_p.astype(jnp.int32), zerob_p.astype(jnp.int32),
+        lcd_p.astype(_F32), rdd_p.astype(_F32),
+        rd_p.astype(_F32), sqb_p.astype(_F32),
+        i2se.astype(_F32), nonas_col.astype(_F32),
+    )
+
+
+def build_sweep_prep(grp_flat, valid_flat, sigmag, sigmae, pi_est,
+                     cva, cvai, nonas, n_total, nblocks, B, wave):
+    """Batched per-marker scan tables for the mega-kernel — the
+    scan_kernel_wave prep lifted over all blocks at once (it depends only
+    on groups and the iteration's hyperparameters, not on eps)."""
+    T = sigmag.shape[0]
+    G, K = cva.shape
+    f32 = _F32
+    m_pad = grp_flat.shape[0]
+    sigmae_f = sigmae.astype(f32)[:, None]                 # (T, 1)
+    nonas_f = nonas.astype(f32)[:, None]
+    n_total_f = jnp.asarray(n_total, f32)
+
+    sg = jnp.take_along_axis(
+        sigmag.astype(f32), grp_flat[None, :], axis=1)     # (T, m_pad)
+    adav = sg == 0.0
+    sg_safe = jnp.where(adav, 1.0, sg)
+    sige_g = sigmae_f / sg_safe
+    sigg_e = sg_safe / sigmae_f
+
+    cvai_b = cvai.astype(f32)[grp_flat, 1:]                # (m_pad, K-1)
+    cva_b = cva.astype(f32)[grp_flat, 1:]
+    denom = (n_total_f - 1.0) + sige_g[:, :, None] * cvai_b[None]
+    zeros0 = jnp.zeros((T, m_pad, 1), f32)
+    rd = jnp.concatenate([zeros0, 1.0 / denom], axis=2)    # (T, m_pad, K)
+    sqb = jnp.concatenate(
+        [zeros0, jnp.sqrt(sigmae_f[:, :, None] / denom)], axis=2)
+
+    logpi = jnp.log(pi_est.astype(f32))[:, grp_flat, :]    # (T, m_pad, K)
+    tail = -0.5 * jnp.log(
+        sigg_e[:, :, None] * (nonas_f[:, :, None] - 1.0) * cva_b[None] + 1.0)
+    lc = logpi.at[:, :, 1:].add(tail)
+
+    nw = B // wave
+
+    def pair_layout(x4):   # (T, m_pad, K, K) -> (nblocks, T, B*K*K)
+        x = x4.reshape(T, nblocks, nw, wave, K, K)
+        x = jnp.transpose(x, (1, 0, 2, 4, 5, 3))
+        return x.reshape(nblocks, T, B * K * K)
+
+    lcd_p = pair_layout(lc[:, :, :, None] - lc[:, :, None, :])
+    rdd_p = pair_layout(rd[:, :, :, None] - rd[:, :, None, :])
+
+    def per_block_ktb(x3):  # (T, m_pad, K) -> (nblocks, K, T, B)
+        return jnp.transpose(x3.reshape(T, nblocks, B, K), (1, 3, 0, 2))
+
+    rd_p = per_block_ktb(rd)
+    sqb_p = per_block_ktb(sqb)
+
+    validb = valid_flat[None, :]
+    live = (validb & (~adav)).astype(jnp.int32)            # (T, m_pad)
+    zerob = (validb & adav).astype(jnp.int32)
+
+    def per_block_tb(x2):   # (T, m_pad) -> (nblocks, T, B)
+        return jnp.moveaxis(x2.reshape(T, nblocks, B), 1, 0)
+
+    return (lcd_p, rdd_p, rd_p, sqb_p,
+            per_block_tb(live), per_block_tb(zerob))

@@ -130,7 +130,7 @@ class ProcessData:
 
 def load_data_process(opt: Options, n_shards: int,
                       local_ids: Optional[Sequence[int]] = None,
-                      lane_pad: int = 128) -> ProcessData:
+                      lane_pad: int = 512) -> ProcessData:
     """Read this process's shards only (reference per-rank load,
     bayes.cpp:867-900: each rank reads offset 3 + S*mbytes).
 

@@ -67,7 +67,7 @@ def load_data(
     start_marker: int = 0,
     n_markers: Optional[int] = None,
     m_pad: Optional[int] = None,
-    lane_pad: int = 128,
+    lane_pad: int = 512,
 ) -> LoadedData:
     """Read and preprocess all inputs for one marker shard.
 

@@ -57,6 +57,7 @@ def marker_sweep(
     wave_size: int = 1,
     pallas_gram: bool = True,
     pallas_upd: bool = False,
+    megakernel=None,
 ):
     """The full marker sweep (reference loop bayes.cpp:375-553) over Gram
     blocks, with all randomness injected — directly comparable to the NumPy
@@ -137,6 +138,41 @@ def marker_sweep(
     comp_old_p = permuted_blocks(comp, 1)
     acum_old_p = permuted_blocks(acum, 1)
 
+    # --- whole-sweep mega-kernel path (single device, f32, wave mode) ----
+    # One pallas_call for the entire sweep: no per-block launches, the
+    # residual and Gram stay in VMEM (ops/sweep_kernel.py).
+    mega = (use_pallas and pallas_gram and axis_name is None
+            and dtype == jnp.float32 and wave_size > 1
+            and B % wave_size == 0 and megakernel is not False)
+    if mega:
+        from gmrm_tpu.ops.sweep_kernel import (
+            sweep_blocks_pallas, build_sweep_prep, vmem_fits,
+        )
+        mega = megakernel or vmem_fits(T, B, static.bed.shape[1])
+    if mega:
+        G, K = static.cva.shape
+        lcd_p, rdd_p, rd_p, sqb_p, live_p, zerob_p = build_sweep_prep(
+            grp_p.reshape(m_pad), valid_p.reshape(m_pad),
+            sigmag, sigmae, pi_est, static.cva, static.cvai,
+            nonas, n_total, nblocks, B, wave_size)
+        i2se = (1.0 / (2.0 * sigmae.astype(jnp.float32)))[:, None]
+        nonas_col = nonas.astype(jnp.float32)[:, None]
+        eps_out, _dbeta_p, beta_new_p, comp_new_p, acum_new_p = \
+            sweep_blocks_pallas(
+                bed_p.reshape(m_pad, -1), eps, na,
+                mave_p, msig_p, beta_old_p, comp_old_p, acum_old_p,
+                u_all, z_all, live_p, zerob_p,
+                lcd_p, rdd_p, rd_p, sqb_p, i2se, nonas_col,
+                wave=wave_size, shared_na=shared_na)
+        eps = eps_out.astype(dtype)
+        onehot_k = jax.nn.one_hot(comp_new_p, K, dtype=jnp.int32)
+        onehot_g = jax.nn.one_hot(grp_p, G, dtype=jnp.int32)
+        cass_local = jnp.einsum(
+            "atbk,abg->tgk", onehot_k * live_p[:, :, :, None], onehot_g)
+        return _finish_sweep(
+            eps, beta_new_p, comp_new_p, acum_new_p, cass_local,
+            perm, m_pad, T)
+
     def block_body(carry, xs):
         eps, cass = carry
         (bed_blk, mave_blk, msig_blk, grp_blk, valid_blk,
@@ -168,6 +204,12 @@ def marker_sweep(
          beta_old_p, comp_old_p, acum_old_p, u_all, z_all),
     )
 
+    return _finish_sweep(
+        eps, beta_new_p, comp_new_p, acum_new_p, cass_local, perm, m_pad, T)
+
+
+def _finish_sweep(eps, beta_new_p, comp_new_p, acum_new_p, cass_local,
+                  perm, m_pad, T):
     # Invert the permutation: position k of the processed stream is marker
     # perm[k], so marker j lives at inv[j] with inv[perm[k]] = k.
     inv = jnp.zeros((m_pad,), jnp.int32).at[perm].set(
@@ -196,6 +238,7 @@ def gibbs_iteration(
     wave_size: int = 1,
     pallas_gram: bool = True,
     pallas_upd: bool = False,
+    megakernel=None,
 ):
     T, _, mb = state.eps.shape
     m_pad = state.betas.shape[1]
@@ -249,6 +292,7 @@ def gibbs_iteration(
         static, blocks, u_all, z_all,
         axis_name=axis_name, use_pallas=use_pallas, shared_na=shared_na,
         wave_size=wave_size, pallas_gram=pallas_gram, pallas_upd=pallas_upd,
+        megakernel=megakernel,
     )
 
     # --- 4. hyperparameter block -----------------------------------------
@@ -296,7 +340,7 @@ def make_gibbs_step(*, block_size: int, axis_name: Optional[str] = None,
                     use_pallas: bool = False, donate: bool = True,
                     shuffle: bool = True, shared_na: bool = False,
                     wave_size: int = 1, pallas_gram: bool = True,
-                    pallas_upd: bool = False):
+                    pallas_upd: bool = False, megakernel=None):
     """Jitted single-iteration step (state, static, it) -> (state, aux).
 
     ``static`` is a regular argument (not a closure constant) so the bed
@@ -306,5 +350,6 @@ def make_gibbs_step(*, block_size: int, axis_name: Optional[str] = None,
         gibbs_iteration, block_size=block_size, axis_name=axis_name,
         use_pallas=use_pallas, shuffle=shuffle, shared_na=shared_na,
         wave_size=wave_size, pallas_gram=pallas_gram, pallas_upd=pallas_upd,
+        megakernel=megakernel,
     )
     return jax.jit(fn, donate_argnums=(0,) if donate else ())

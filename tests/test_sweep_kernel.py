@@ -1,0 +1,90 @@
+"""Whole-sweep mega-kernel vs the composed per-block path.
+
+Both run the SAME wave relaxation; outputs must agree: component choices
+exactly, continuous state to f32 tolerance.  Interpret mode on CPU (the
+conftest pins the backend); the real-device path is exercised by the
+bench harness.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import gmrm_tpu.ops.pallas_kernels as pk
+import gmrm_tpu.ops.scan_kernel_wave as skw
+import gmrm_tpu.ops.sweep_kernel as swk
+from gmrm_tpu.config import Options
+from gmrm_tpu.io.sim import simulate
+from gmrm_tpu.runner import load_data, build_static, init_sampler_state
+from gmrm_tpu.sampler.gibbs import gibbs_iteration
+
+
+@pytest.fixture(scope="module")
+def small_setup(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("megadata"))
+    sim = simulate(out, n=600, m=128, n_traits=2, n_causal=32, h2=0.5,
+                   n_groups=2, na_rate=0.02, seed=7)
+    opt = Options(bed_file=sim.bed, dim_file=sim.dim, phen_files=sim.phens,
+                  group_index_file=sim.gri, group_mixture_file=sim.grm,
+                  iterations=1, seed=3, block_size=32,
+                  output_thin_rate=10 ** 9)
+    opt.validate()
+    opt.load_group_mixtures()
+    data = load_data(opt)
+    static = build_static(data, opt, jnp.float32)
+    state = init_sampler_state(data, opt, jnp.float32)
+    return opt, data, static, state
+
+
+@pytest.mark.parametrize("wave", [8, 32])
+def test_megakernel_matches_composed_path(small_setup, wave, monkeypatch):
+    monkeypatch.setattr(pk, "FORCE_INTERPRET", True)
+    monkeypatch.setattr(skw, "FORCE_INTERPRET", True)
+    monkeypatch.setattr(swk, "FORCE_INTERPRET", True)
+    opt, data, static, state = small_setup
+    shared_na = all(ph.nas == 0 for ph in data.phens)
+
+    outs = {}
+    for name, mega in (("composed", False), ("mega", True)):
+        s2, aux = gibbs_iteration(
+            state, static, jnp.asarray(3, jnp.int32),
+            block_size=opt.block_size, use_pallas=True,
+            shared_na=shared_na, wave_size=wave, megakernel=mega)
+        outs[name] = jax.device_get((s2, aux))
+
+    a, b = outs["composed"][0], outs["mega"][0]
+    np.testing.assert_array_equal(np.asarray(b.comp), np.asarray(a.comp))
+    np.testing.assert_array_equal(np.asarray(b.cass), np.asarray(a.cass))
+    np.testing.assert_allclose(np.asarray(b.betas), np.asarray(a.betas),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(b.eps), np.asarray(a.eps),
+                               rtol=1e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(b.sigmae), np.asarray(a.sigmae),
+                               rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(b.acum), np.asarray(a.acum),
+                               rtol=1e-3, atol=1e-5)
+
+
+def test_megakernel_multi_iteration_chain(small_setup, monkeypatch):
+    """Three chained iterations stay in agreement (eps feedback loop)."""
+    monkeypatch.setattr(pk, "FORCE_INTERPRET", True)
+    monkeypatch.setattr(skw, "FORCE_INTERPRET", True)
+    monkeypatch.setattr(swk, "FORCE_INTERPRET", True)
+    opt, data, static, state = small_setup
+    shared_na = all(ph.nas == 0 for ph in data.phens)
+
+    s_a = s_b = state
+    for it in range(1, 4):
+        s_a, _ = gibbs_iteration(
+            s_a, static, jnp.asarray(it, jnp.int32),
+            block_size=opt.block_size, use_pallas=True,
+            shared_na=shared_na, wave_size=8, megakernel=False)
+        s_b, _ = gibbs_iteration(
+            s_b, static, jnp.asarray(it, jnp.int32),
+            block_size=opt.block_size, use_pallas=True,
+            shared_na=shared_na, wave_size=8, megakernel=True)
+    s_a, s_b = jax.device_get((s_a, s_b))
+    np.testing.assert_array_equal(np.asarray(s_b.comp), np.asarray(s_a.comp))
+    np.testing.assert_allclose(np.asarray(s_b.betas), np.asarray(s_a.betas),
+                               rtol=1e-3, atol=1e-4)
