@@ -83,14 +83,22 @@ def main():
     de = float(np.max(np.abs(np.asarray(s_b.eps) - np.asarray(s_a.eps))))
     print(f"# agreement: comp_equal={comp_eq} max|dbeta|={db:.3e} "
           f"max|deps|={de:.3e}", flush=True)
-    if not comp_eq or db > 1e-6:
+    if not comp_eq or db > 1e-6 or de > 1e-6:
         print("# MEGA-KERNEL DISAGREES ON DEVICE — not safe to enable")
         sys.exit(1)
 
     # ---- timing at converged sparsity, interleaved ----
+    # Two composed baselines: the production default (XLA eps update,
+    # pallas_upd=False) and the fused-update variant the agreement gate
+    # above validated against (pallas_upd=True) — labeled separately so
+    # the reported speedup states which baseline it is measured against.
     donate_comp = make_gibbs_step(
         block_size=opt.block_size, use_pallas=True, donate=True,
         shared_na=shared_na, wave_size=args.wave, megakernel=False)
+    donate_comp_fu = make_gibbs_step(
+        block_size=opt.block_size, use_pallas=True, donate=True,
+        shared_na=shared_na, wave_size=args.wave, megakernel=False,
+        pallas_upd=True)
     donate_mega = make_gibbs_step(
         block_size=opt.block_size, use_pallas=True, donate=True,
         shared_na=shared_na, wave_size=args.wave, megakernel=True)
@@ -103,15 +111,16 @@ def main():
     jax.block_until_ready(state.sigmae)
     print(f"# burn-in {args.burn} iters done", flush=True)
 
-    results = {"composed": [], "mega": []}
+    names = ("composed", "composed-fused-upd", "mega")
+    results = {n: [] for n in names}
     # donated steps consume their input buffers: each variant needs its
     # own copy of the burned-in state
     host_state = jax.device_get(state)
-    states = {"composed": jax.device_put(host_state),
-              "mega": jax.device_put(host_state)}
-    steps = {"composed": donate_comp, "mega": donate_mega}
+    states = {n: jax.device_put(host_state) for n in names}
+    steps = {"composed": donate_comp, "composed-fused-upd": donate_comp_fu,
+             "mega": donate_mega}
     for rep in range(args.repeats):
-        for name in ("composed", "mega"):
+        for name in names:
             st = states[name]
             t0 = time.perf_counter()
             for _ in range(args.iters):

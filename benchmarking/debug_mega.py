@@ -68,9 +68,12 @@ if mism.sum():
     # iteration-dependent; raw marker index mod B is still informative)
     print(f"  marker {m0}: block-of-raw {m0 // BLOCK}")
 agree = ~mism
-d_beta = np.abs(beta_a - beta_b)[agree]
-print(f"on agreeing markers: max|dbeta|={d_beta.max():.3e} "
-      f"mean={d_beta.mean():.3e}")
+if agree.any():
+    d_beta = np.abs(beta_a - beta_b)[agree]
+    print(f"on agreeing markers: max|dbeta|={d_beta.max():.3e} "
+          f"mean={d_beta.mean():.3e}")
+else:
+    print("no agreeing markers — every comp mismatches")
 d_eps = np.abs(np.asarray(s_a.eps) - np.asarray(s_b.eps))
 print(f"eps: max={d_eps.max():.3e} per-trait max={d_eps.reshape(TRAITS, -1).max(1)}")
 print(f"sigmae a={np.asarray(s_a.sigmae)} b={np.asarray(s_b.sigmae)}")
