@@ -44,6 +44,46 @@ HAVE_PALLAS_KERNELS = True
 # Test hook: force interpret-mode execution (CPU test suites).
 FORCE_INTERPRET = False
 
+
+def resolve_interpret(interpret: bool) -> bool:
+    """Pallas kernels run in interpret mode automatically on CPU backends
+    (the 8-device virtual-mesh test suite, multichip dryruns): the exact
+    same kernel code path executes, minus Mosaic compilation.  On TPU this
+    is a no-op unless ``interpret``/``FORCE_INTERPRET`` asks for it."""
+    return bool(interpret or FORCE_INTERPRET
+                or jax.default_backend() == "cpu")
+
+
+def shard_varying(axis_name, *xs):
+    """Under shard_map (``axis_name`` set) promote every operand to
+    device-varying over that axis so a pallas_call sees uniform vma
+    (check_vma=True rejects mixed replicated/varying kernel operands)."""
+    if axis_name is None:
+        return xs
+
+    def f(x):
+        try:
+            if axis_name in jax.typeof(x).vma:
+                return x
+        except (AttributeError, TypeError):
+            pass
+        return jax.lax.pcast(x, (axis_name,), to='varying')
+
+    return tuple(f(x) for x in xs)
+
+
+def out_vma(axis_name):
+    """``vma`` for pallas_call out ShapeDtypeStructs under shard_map."""
+    return None if axis_name is None else frozenset((axis_name,))
+
+
+def sds(shape, dtype, vma=None):
+    """ShapeDtypeStruct with vma only when running under shard_map."""
+    if vma:
+        return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
+    return jax.ShapeDtypeStruct(shape, dtype)
+
+
 _LANES = 512          # packed-byte lane tile (4 individuals/byte -> 2048)
 _BF16 = jnp.bfloat16
 _F32 = jnp.float32
@@ -159,7 +199,7 @@ def _gram_kernel(bed_ref, eps_ref, na_ref, mave_ref, msig_ref,
 
 
 @functools.lru_cache(maxsize=None)
-def _build_gram_call(B, mb, T, shared_na, interpret):
+def _build_gram_call(B, mb, T, shared_na, interpret, vma=None):
     tn = _pick_tn(mb)
     grid = pl.cdiv(mb, tn)
     kern = functools.partial(_gram_kernel, mb=mb, tn=tn, n_traits=T,
@@ -181,8 +221,8 @@ def _build_gram_call(B, mb, T, shared_na, interpret):
             pl.BlockSpec((T, B, B), lambda i: (0, 0, 0)),     # gs
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((T, B), _F32),
-            jax.ShapeDtypeStruct((T, B, B), _F32),
+            sds((T, B), _F32, vma),
+            sds((T, B, B), _F32, vma),
         ],
         scratch_shapes=[
             pltpu.VMEM((1 if shared_na else T, 2 * B, 2 * B), _F32),
@@ -194,7 +234,7 @@ def _build_gram_call(B, mb, T, shared_na, interpret):
 
 def block_gram_scaled_pallas(bed_block, eps, na, mave, msig, *,
                              dtype=jnp.float32, shared_na=False,
-                             interpret=False):
+                             interpret=False, axis_name=None):
     """Fused decode + Gram for one marker block, msig scaling folded in.
 
     Args match :func:`gmrm_tpu.ops.blockops.block_gram` plus ``msig``:
@@ -215,10 +255,13 @@ def block_gram_scaled_pallas(bed_block, eps, na, mave, msig, *,
     B, mb = bed_block.shape
     T = eps.shape[0]
     call = _build_gram_call(B, mb, T, bool(shared_na),
-                            bool(interpret or FORCE_INTERPRET))
+                            resolve_interpret(interpret),
+                            out_vma(axis_name))
     na_in = na[0] if shared_na else na
-    c, gs = call(bed_block, eps.astype(_F32), na_in.astype(_F32),
-                 mave.astype(_F32), msig.astype(_F32))
+    args = shard_varying(
+        axis_name, bed_block, eps.astype(_F32), na_in.astype(_F32),
+        mave.astype(_F32), msig.astype(_F32))
+    c, gs = call(*args)
     return c.astype(dtype), gs.astype(dtype)
 
 
@@ -252,7 +295,7 @@ def _eps_update_kernel(bed_ref, lhs_ref, na_ref, out_ref, *, n_traits):
 
 
 @functools.lru_cache(maxsize=None)
-def _build_eps_update_call(B, mb, T, interpret):
+def _build_eps_update_call(B, mb, T, interpret, vma=None):
     tn = _pick_tn(mb)
     grid = pl.cdiv(mb, tn)
     kern = functools.partial(_eps_update_kernel, n_traits=T)
@@ -265,13 +308,14 @@ def _build_eps_update_call(B, mb, T, interpret):
             pl.BlockSpec((T, 4, tn), lambda i: (0, 0, i)),    # na
         ],
         out_specs=pl.BlockSpec((T, 4, tn), lambda i: (0, 0, i)),
-        out_shape=jax.ShapeDtypeStruct((T, 4, mb), _F32),
+        out_shape=sds((T, 4, mb), _F32, vma),
         interpret=interpret,
     )
 
 
 def block_eps_update_pallas(bed_block, dbeta_scaled, na, mave, *,
-                            dtype=jnp.float32, interpret=False):
+                            dtype=jnp.float32, interpret=False,
+                            axis_name=None):
     """Residual delta from a block's accepted moves (fused decode).
 
     deps (T, 4, mb) = na * sum_j dbeta_scaled[t, j] * (a_j - mave_tj b_j),
@@ -285,7 +329,8 @@ def block_eps_update_pallas(bed_block, dbeta_scaled, na, mave, *,
     T = dbeta_scaled.shape[0]
     d = dbeta_scaled.astype(_F32)
     lhs = jnp.concatenate([d, -(mave.astype(_F32) * d)], axis=1)  # (T, 2B)
-    call = _build_eps_update_call(B, mb, T,
-                                  bool(interpret or FORCE_INTERPRET))
-    deps = call(bed_block, lhs, na.astype(_F32))
+    call = _build_eps_update_call(B, mb, T, resolve_interpret(interpret),
+                                  out_vma(axis_name))
+    deps = call(*shard_varying(axis_name, bed_block, lhs,
+                               na.astype(_F32)))
     return deps.astype(dtype)

@@ -52,6 +52,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from gmrm_tpu.ops.pallas_kernels import (
+    out_vma, resolve_interpret, sds, shard_varying,
+)
 from gmrm_tpu.sampler.scan import BlockScanResult
 
 
@@ -133,7 +136,7 @@ def _scan_kernel(
 
 
 @functools.lru_cache(maxsize=64)
-def _build_call(T, B, K, interpret):
+def _build_call(T, B, K, interpret, vma=None):
     kern = functools.partial(_scan_kernel, n_mix=K)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
@@ -143,10 +146,10 @@ def _build_call(T, B, K, interpret):
         scratch_shapes=[pltpu.VMEM((B, T), jnp.float32)],
     )
     out_shape = [
-        jax.ShapeDtypeStruct((B, T), jnp.float32),      # dbeta
-        jax.ShapeDtypeStruct((B, T), jnp.float32),      # beta_new
-        jax.ShapeDtypeStruct((B, T), jnp.int32),        # comp_new
-        jax.ShapeDtypeStruct((B, T), jnp.float32),      # acum_new
+        sds((B, T), jnp.float32, vma),      # dbeta
+        sds((B, T), jnp.float32, vma),      # beta_new
+        sds((B, T), jnp.int32, vma),        # comp_new
+        sds((B, T), jnp.float32, vma),      # acum_new
     ]
     return pl.pallas_call(
         kern, grid_spec=grid_spec, out_shape=out_shape, interpret=interpret,
@@ -197,8 +200,10 @@ def block_scan_pallas(
     live = (validb & (~adav)).astype(jnp.int32)            # (T, B)
     zerob = (validb & adav).astype(jnp.int32)
 
-    call = _build_call(T, B, K, interpret)
-    outs = call(
+    call = _build_call(T, B, K, resolve_interpret(interpret),
+                       out_vma(axis_name))
+    outs = call(*shard_varying(
+        axis_name,
         base.T,
         jnp.transpose(lc, (1, 2, 0)),                      # (B, K, T)
         jnp.transpose(rd, (1, 2, 0)),
@@ -208,7 +213,7 @@ def block_scan_pallas(
         acum_old.astype(f32).T, u.astype(f32).T, z.astype(f32).T,
         live.T, zerob.T,
         (1.0 / (2.0 * sigmae_f)).reshape(1, T),
-    )
+    ))
     dbeta, beta_new, comp_new, acum_new = outs
 
     # cass increment, vectorized in XLA (one tiny fused op per block).

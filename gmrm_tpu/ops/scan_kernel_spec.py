@@ -40,6 +40,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from gmrm_tpu.ops.pallas_kernels import (
+    out_vma, resolve_interpret, sds, shard_varying,
+)
 from gmrm_tpu.sampler.scan import BlockScanResult
 
 
@@ -164,7 +167,7 @@ def _spec_kernel(
 
 
 @functools.lru_cache(maxsize=64)
-def _build_call(T, B, K, interpret):
+def _build_call(T, B, K, interpret, vma=None):
     kern = functools.partial(_spec_kernel, n_mix=K, n_traits=T)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
@@ -174,10 +177,10 @@ def _build_call(T, B, K, interpret):
         scratch_shapes=[pltpu.VMEM((T, B), jnp.float32)],
     )
     out_shape = [
-        jax.ShapeDtypeStruct((T, B), jnp.float32),      # dbeta
-        jax.ShapeDtypeStruct((T, B), jnp.float32),      # beta_new
-        jax.ShapeDtypeStruct((T, B), jnp.int32),        # comp_new
-        jax.ShapeDtypeStruct((T, B), jnp.float32),      # acum_new
+        sds((T, B), jnp.float32, vma),      # dbeta
+        sds((T, B), jnp.float32, vma),      # beta_new
+        sds((T, B), jnp.int32, vma),        # comp_new
+        sds((T, B), jnp.float32, vma),      # acum_new
     ]
     return pl.pallas_call(
         kern, grid_spec=grid_spec, out_shape=out_shape, interpret=interpret,
@@ -226,8 +229,10 @@ def block_scan_pallas(
     live = (validb & (~adav)).astype(jnp.int32)            # (T, B)
     zerob = (validb & adav).astype(jnp.int32)
 
-    call = _build_call(T, B, K, interpret)
-    outs = call(
+    call = _build_call(T, B, K, resolve_interpret(interpret),
+                       out_vma(axis_name))
+    outs = call(*shard_varying(
+        axis_name,
         base,
         jnp.transpose(lc, (2, 0, 1)),                      # (K, T, B)
         jnp.transpose(rd, (2, 0, 1)),
@@ -237,7 +242,7 @@ def block_scan_pallas(
         acum_old.astype(f32), u.astype(f32), z.astype(f32),
         live, zerob,
         (1.0 / (2.0 * sigmae_f)),                          # (T, 1)
-    )
+    ))
     dbeta, beta_new, comp_new, acum_new = outs
 
     onehot_k = jax.nn.one_hot(comp_new, K, dtype=jnp.int32)     # (T, B, K)

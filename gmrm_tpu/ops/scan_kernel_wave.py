@@ -45,6 +45,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from gmrm_tpu.ops.pallas_kernels import (
+    out_vma, resolve_interpret, sds, shard_varying,
+)
 from gmrm_tpu.sampler.scan import BlockScanResult
 
 # Test hook: force interpret-mode execution (CPU test suites).
@@ -171,7 +174,7 @@ def _wave_kernel(
 
 
 @functools.lru_cache(maxsize=64)
-def _build_call(T, B, K, W, interpret):
+def _build_call(T, B, K, W, interpret, vma=None):
     kern = functools.partial(_wave_kernel, n_mix=K, n_traits=T, wave=W)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
@@ -181,10 +184,10 @@ def _build_call(T, B, K, W, interpret):
         scratch_shapes=[pltpu.VMEM((T, B), jnp.float32)],
     )
     out_shape = [
-        jax.ShapeDtypeStruct((T, B), jnp.float32),      # dbeta
-        jax.ShapeDtypeStruct((T, B), jnp.float32),      # beta_new
-        jax.ShapeDtypeStruct((T, B), jnp.int32),        # comp_new
-        jax.ShapeDtypeStruct((T, B), jnp.float32),      # acum_new
+        sds((T, B), jnp.float32, vma),      # dbeta
+        sds((T, B), jnp.float32, vma),      # beta_new
+        sds((T, B), jnp.int32, vma),        # comp_new
+        sds((T, B), jnp.float32, vma),      # acum_new
     ]
     return pl.pallas_call(
         kern, grid_spec=grid_spec, out_shape=out_shape, interpret=interpret,
@@ -252,8 +255,11 @@ def make_block_scan_wave(wave: int):
             gs.astype(f32).reshape(T, nw, wave, B), (1, 0, 2, 3)
         ).reshape(T * B, B)
 
-        call = _build_call(T, B, K, wave, interpret or FORCE_INTERPRET)
-        outs = call(
+        call = _build_call(T, B, K, wave,
+                           resolve_interpret(interpret or FORCE_INTERPRET),
+                           out_vma(axis_name))
+        outs = call(*shard_varying(
+            axis_name,
             base, lcd, rdd,
             jnp.transpose(rd, (2, 0, 1)),                      # (K, T, B)
             jnp.transpose(sqb, (2, 0, 1)),
@@ -262,7 +268,7 @@ def make_block_scan_wave(wave: int):
             acum_old.astype(f32), u.astype(f32), z.astype(f32),
             live, zerob,
             (1.0 / (2.0 * sigmae_f)),                          # (T, 1)
-        )
+        ))
         dbeta, beta_new, comp_new, acum_new = outs
 
         onehot_k = jax.nn.one_hot(comp_new, K, dtype=jnp.int32)

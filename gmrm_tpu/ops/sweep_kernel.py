@@ -43,7 +43,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from gmrm_tpu.ops.pallas_kernels import _decode_tile, _LANES
+from gmrm_tpu.ops.pallas_kernels import (
+    _decode_tile, _LANES, resolve_interpret,
+)
 
 _BF16 = jnp.bfloat16
 _F32 = jnp.float32
@@ -349,7 +351,7 @@ def sweep_blocks_pallas(
     assert bed_p.shape[0] == nblocks * B
     call = _build_sweep_call(nblocks, B, mb_pad, T, K, wave,
                              bool(shared_na),
-                             bool(interpret or FORCE_INTERPRET))
+                             resolve_interpret(interpret or FORCE_INTERPRET))
     na_in = na[:1] if shared_na else na
     return call(
         bed_p, eps0.astype(_F32), na_in.astype(_F32),

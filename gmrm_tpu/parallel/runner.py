@@ -81,10 +81,16 @@ def make_sharded_step(mesh, *, block_size: int, use_pallas: bool = False,
                  shuffle=shuffle, shared_na=shared_na,
                  wave_size=wave_size)
     sspec, tspec = _state_specs(), _static_specs()
+    # check_vma is disabled on the Pallas path: vma tracking inside
+    # interpret-mode kernel bodies rejects kernel-internal constants
+    # (mixed varying/replicated operands to primitive ops); the kernels
+    # annotate their own out-vma (ops/pallas_kernels.py out_vma) so the
+    # boundary stays sound.
     sharded = jax.shard_map(
         fn, mesh=mesh,
         in_specs=(sspec, tspec, P()),
         out_specs=(sspec, P()),
+        check_vma=not use_pallas,
     )
     return jax.jit(sharded, donate_argnums=(0,) if donate else ())
 

@@ -98,11 +98,15 @@ def marker_sweep(
         def gram_scaled_fn(bed_blk, eps, mave_blk, msig_blk, dtype):
             return block_gram_scaled_pallas(
                 bed_blk, eps, na, mave_blk, msig_blk, dtype=dtype,
-                shared_na=shared_na)
+                shared_na=shared_na, axis_name=axis_name)
         # The fused update kernel measures SLOWER than the XLA one (its
         # skinny dots re-pay the in-kernel decode; benchmarking/PROFILE.md),
         # so XLA update is the default even on the Pallas path.
-        upd_fn = block_eps_update_pallas if pallas_upd else block_eps_update
+        if pallas_upd:
+            def upd_fn(*a, **k):
+                return block_eps_update_pallas(*a, axis_name=axis_name, **k)
+        else:
+            upd_fn = block_eps_update
     else:
         def gram_scaled_fn(bed_blk, eps, mave_blk, msig_blk, dtype):
             craw, graw = block_gram(bed_blk, eps, na, mave_blk, dtype=dtype,

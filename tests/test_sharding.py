@@ -68,12 +68,19 @@ def test_sharded_run_matches_single_device_statistically(sim_medium, tmp_path):
 
 
 @needs_8
-@pytest.mark.parametrize("block_size", [1, 4])
-def test_sharded_sweep_matches_replay_oracle(sim_small, block_size):
+@pytest.mark.parametrize("block_size,use_pallas", [(1, False), (4, False),
+                                                   (4, True)])
+def test_sharded_sweep_matches_replay_oracle(sim_small, block_size,
+                                             use_pallas):
     """The sharded blocked sweep vs the NumPy D-rank replay oracle at exact
     cadence with injected randomness (VERDICT r1 item 6): B=1 reproduces
     the reference's per-marker Allgatherv protocol (bayes.cpp:500-553),
     B=4 the blocked throughput mode.  Discrete choices must match exactly.
+
+    use_pallas=True runs the same protocol through the fused Pallas
+    Gram/scan kernels under shard_map (interpret mode on CPU) — the
+    shard_map x pallas_call combination a real pod executes
+    (parallel/runner.py:426-434).
     """
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -171,7 +178,8 @@ def test_sharded_sweep_matches_replay_oracle(sim_small, block_size):
               blocks, u_all, z_all):
         eps, betas, comp, acum, cass_local = marker_sweep(
             eps, betas, comp, acum, sigmag, sigmae, pi_est,
-            static, blocks, u_all, z_all, axis_name=MARKER_AXIS)
+            static, blocks, u_all, z_all, axis_name=MARKER_AXIS,
+            use_pallas=use_pallas, wave_size=1)
         return eps, betas, comp, acum, jax.lax.psum(cass_local, MARKER_AXIS)
 
     sh = P(MARKER_AXIS)
@@ -182,6 +190,7 @@ def test_sharded_sweep_matches_replay_oracle(sim_small, block_size):
         in_specs=(rep, sh2, sh2, sh2, rep, rep, rep, _static_specs(),
                   sh, sh, sh),
         out_specs=(rep, sh2, sh2, sh2, rep),
+        check_vma=not use_pallas,
     ))
     eps_j, betas_j, comp_j, acum_j, cass_j = sweep_sh(
         jnp.asarray(to_phase_planes(ost.eps * 0 + ph.epsilon_padded())[None],
@@ -207,6 +216,34 @@ def test_sharded_sweep_matches_replay_oracle(sim_small, block_size):
                                rtol=5e-3, atol=5e-4)
     eps_std = from_phase_planes(np.asarray(eps_j))[0]
     np.testing.assert_allclose(eps_std, ost.eps, rtol=5e-3, atol=2e-3)
+
+
+@needs_8
+def test_sharded_pallas_wave_full_run(sim_medium, tmp_path):
+    """Full sharded training through the production TPU configuration —
+    use_pallas + wave_size > 1 under shard_map (parallel/runner.py:426-434),
+    kernels in interpret mode on the CPU mesh.  Checks the combination
+    compiles, executes, and produces a statistically sane short chain
+    vs the XLA sharded path."""
+    from gmrm_tpu.parallel.runner import run_training_sharded
+
+    opt_p = _opts(sim_medium, str(tmp_path / "outp"), iterations=15,
+                  use_pallas=True, wave_size=4)
+    res_p = run_training_sharded(opt_p, verbose=False)
+
+    opt_x = _opts(sim_medium, str(tmp_path / "outx"), iterations=15)
+    res_x = run_training_sharded(opt_x, verbose=False)
+
+    sg_p = np.asarray(res_p.state.sigmag).sum(axis=1)
+    se_p = np.asarray(res_p.state.sigmae)
+    sg_x = np.asarray(res_x.state.sigmag).sum(axis=1)
+    se_x = np.asarray(res_x.state.sigmae)
+    assert np.all(np.isfinite(sg_p)) and np.all(np.isfinite(se_p))
+    h_p = sg_p / (sg_p + se_p)
+    h_x = sg_x / (sg_x + se_x)
+    # Different within-block cadence (wave relaxation) -> same laws; loose
+    # agreement after a short chain, exactly like the rank-count contract.
+    np.testing.assert_allclose(h_p, h_x, atol=0.3)
 
 
 @needs_8
