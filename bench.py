@@ -80,6 +80,39 @@ def bench_tpu(data_dir):
                            donate=True, shared_na=shared_na,
                            wave_size=opt.wave_size if use_pallas else 1)
 
+    # Report (and gate) whether the whole-sweep mega-kernel is active: it
+    # auto-enables when VMEM fits (gibbs.marker_sweep).  When active, one
+    # composed-vs-mega iteration must agree bit-for-bit on device before
+    # anything is timed — a Mosaic regression must fail loudly, not ship a
+    # fast wrong number (benchmarking/PROFILE.md round-3 validation).
+    mega_active = False
+    if use_pallas and opt.wave_size > 1:
+        from gmrm_tpu.ops.sweep_kernel import vmem_fits
+        mega_active = vmem_fits(TRAITS, opt.block_size, static.bed.shape[1])
+    if mega_active:
+        gate_comp = make_gibbs_step(
+            block_size=opt.block_size, use_pallas=True, donate=False,
+            shared_na=shared_na, wave_size=opt.wave_size,
+            megakernel=False, pallas_upd=True)
+        gate_mega = make_gibbs_step(
+            block_size=opt.block_size, use_pallas=True, donate=False,
+            shared_na=shared_na, wave_size=opt.wave_size, megakernel=True)
+        it1 = jnp.asarray(1, jnp.int32)
+        s_a, _ = gate_comp(state, static, it1)
+        s_b, _ = gate_mega(state, static, it1)
+        s_a, s_b = jax.device_get((s_a, s_b))
+        comp_eq = np.array_equal(np.asarray(s_a.comp), np.asarray(s_b.comp))
+        db = float(np.max(np.abs(np.asarray(s_a.betas)
+                                 - np.asarray(s_b.betas))))
+        de = float(np.max(np.abs(np.asarray(s_a.eps) - np.asarray(s_b.eps))))
+        if not comp_eq or db > 1e-6 or de > 1e-6:
+            print(f"FATAL: mega-kernel disagrees with composed path on "
+                  f"device (comp_equal={comp_eq} max|dbeta|={db:.3e} "
+                  f"max|deps|={de:.3e})", file=sys.stderr)
+            sys.exit(1)
+        print("# mega agreement gate: PASS (bit-identical)",
+              file=sys.stderr, flush=True)
+
     it = 1
     for _ in range(WARM_ITERS):
         state, _ = step(state, static, jnp.asarray(it, jnp.int32))
@@ -94,7 +127,10 @@ def bench_tpu(data_dir):
             it += 1
         jax.block_until_ready(state.sigmae)
         best = min(best, (time.perf_counter() - t0) / MEAS_ITERS)
-    return MT / best, best
+    return MT / best, best, {"megakernel": mega_active,
+                             "block_size": opt.block_size,
+                             "wave_size": opt.wave_size,
+                             "use_pallas": use_pallas}
 
 
 def bench_oracle_cpu(data_dir):
@@ -164,7 +200,7 @@ def main():
     t0 = time.perf_counter()
     data_dir = build_dataset()
     print(f"# dataset ready {time.perf_counter()-t0:.1f}s", file=sys.stderr, flush=True)
-    markers_per_s, steady = bench_tpu(data_dir)
+    markers_per_s, steady, cfg = bench_tpu(data_dir)
     print(f"# tpu bench done {time.perf_counter()-t0:.1f}s", file=sys.stderr, flush=True)
     try:
         ref, rec = reference_baseline_markers_per_s()
@@ -182,10 +218,20 @@ def main():
         "vs_baseline": round(vs, 2) if vs else None,
         "detail": {
             "iter_ms": round(steady * 1000, 2),
+            **cfg,
             "baseline_compiled_gmrm_markers_per_s":
                 round(ref, 1) if ref else None,
             "baseline_omp_threads":
                 rec.get("omp_threads") if rec else None,
+            # per-core normalization: this box runs the reference on 2
+            # cores; its intended config is 2 ranks x 18 threads.  The
+            # honest cross-hardware comparator is markers/s per CPU core.
+            "baseline_markers_per_s_per_core":
+                round(ref / rec["omp_threads"], 1)
+                if rec and rec.get("omp_threads") else None,
+            "vs_baseline_36core_est":
+                round(markers_per_s / (ref / rec["omp_threads"] * 36), 2)
+                if rec and rec.get("omp_threads") else None,
             "oracle_numpy_markers_per_s":
                 round(oracle_ms, 1) if oracle_ms else None,
         },

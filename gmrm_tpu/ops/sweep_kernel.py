@@ -26,8 +26,9 @@ Shape requirements: ``mb_pad`` (packed bytes per marker) must be a
 multiple of the 512-byte lane tile and every plane input padded
 accordingly (pad bytes 0x55 decode to zero — io/bed.py MISSING_BYTE), so
 the tile loop needs no masking.  VMEM budget: the full (B, mb_pad) bed
-block plus four (T, 4, mb_pad) planes must fit (~N <= 32k individuals at
-B = 128); larger N falls back to the per-block kernels.
+block plus four (T, 4, mb_pad) planes must fit (~N <= 64k individuals at
+B = 128, T = 4; N = 50k measured on device, benchmarking/SCALE.md);
+larger N falls back to the per-block kernels.
 
 Reference mapping: the fused math is the same restructuring of
 ``src/bayes.cpp:375-553`` documented in ops/blockops.py,

@@ -86,9 +86,14 @@ def _chunked_predict_sums(bed, na, mave, msig, beta_mean, y_planes,
     return g, xtx.reshape(-1)[:m], xty.reshape(-1)[:m]
 
 
-def _beta_mean_streamed(bet_path: str, expect_mtot: int):
+def _beta_mean_streamed(bet_path: str, expect_mtot: int, start: int = 0,
+                        count: int | None = None):
     """Posterior-mean betas, one record at a time (never holds the whole
-    chain — reference reads per-iteration too, bayes.cpp:69-80)."""
+    chain — reference reads per-iteration too, bayes.cpp:69-80).
+
+    ``start``/``count`` select this process's marker slice — the
+    per-rank positioned .bet read of distributed predict
+    (reference MPI_File_read_at_all, bayes.cpp:69-80)."""
     from gmrm_tpu.io.writers import history_mtot, read_history_stream
     mtot = history_mtot(bet_path)
     if mtot != expect_mtot:
@@ -96,9 +101,11 @@ def _beta_mean_streamed(bet_path: str, expect_mtot: int):
             f"Mismatch between expected and Mtot read from .bet file: "
             f"{expect_mtot} vs {mtot}"
         )
-    acc = np.zeros(mtot, np.float64)
+    if count is None:
+        count = mtot - start
+    acc = np.zeros(count, np.float64)
     niter = 0
-    for _, rec in read_history_stream(bet_path, "f8"):
+    for _, rec in read_history_stream(bet_path, "f8", start, count):
         acc += rec
         niter += 1
     return acc / max(niter, 1), niter
@@ -155,6 +162,14 @@ def run_predict(opt: Options, verbose: bool = True):
     Runs marker-sharded over all visible devices (reference predict is
     MPI-parallel the same way, bayes.cpp:93-136); a single device gives
     the identical bytes.
+
+    Multi-process: each process handles its contiguous marker block
+    (reference per-rank partition, bayes.cpp:903-925) — it reads only its
+    .bed and .bet slices and writes its own fixed-width .mlma line range
+    at the exact byte offsets (the reference's per-rank
+    MPI_File_write_at with Allgathered line counts, bayes.cpp:223-254).
+    Per-marker statistics never cross markers and y_k == y in the 1-rank
+    semantics (below), so the bytes are identical for any process count.
     """
     opt.validate()
     n, m_total = read_dim(opt.dim_file)
@@ -163,17 +178,38 @@ def run_predict(opt: Options, verbose: bool = True):
     rsid = read_bim_ids(opt.bim_file)
     ref_idx = bim_id_index(opt.ref_bim_file)
 
-    bed = read_bed(opt.bed_file, n, m_total)
-    mb = bed.shape[1]
+    nproc = jax.process_count()
+    pid = jax.process_index()
+    if nproc > 1:
+        from gmrm_tpu.parallel.mesh import marker_blocks
+        s0, m_loc = marker_blocks(m_total, nproc)[pid]
+    else:
+        s0, m_loc = 0, m_total
+
+    bed = read_bed(opt.bed_file, n, m_total, s0, m_loc)
     dtype = jnp.dtype(opt.dtype)
-    n_dev = opt.n_devices or len(jax.devices())
+    n_dev = opt.n_devices or len(jax.local_devices())
+
+    # Reference-panel membership over ALL markers (every process reads the
+    # small .bim files): line numbers in the .mlma are global prefix
+    # counts of kept markers, the Allgathered offsets of bayes.cpp:237-247.
+    keep_all = np.array([rid in ref_idx for rid in rsid[:m_total]])
+    rmglo_all = np.array([ref_idx.get(rid, -1) for rid in rsid[:m_total]])
+    line_no = np.cumsum(keep_all) - 1                  # global line index
+    n_keep = int(keep_all.sum())
+    keep = keep_all[s0:s0 + m_loc]
+    rmglo = rmglo_all[s0:s0 + m_loc]
+
+    from gmrm_tpu.io.writers import MLMA_LINE_LEN
+    from gmrm_tpu.parallel.runner import _sync_processes
 
     for phen_path in opt.phen_files:
         ph = read_phen(phen_path, n)
         base = os.path.join(opt.out_dir, stem(phen_path))
         bet_path = base + ".bet"
-        beta_mean, niter = _beta_mean_streamed(bet_path, len(ref_idx))
-        if verbose:
+        beta_mean, niter = _beta_mean_streamed(bet_path, len(ref_idx),
+                                               s0, m_loc)
+        if verbose and pid == 0:
             print(f"INFO   : Number of recorded iterations in .bet file: "
                   f"{niter}")
 
@@ -184,25 +220,20 @@ def run_predict(opt: Options, verbose: bool = True):
         mave = np.asarray(mave)[0]
         msig = np.asarray(msig)[0]
 
-        # Markers present in the reference panel; beta indexed by the
-        # *current* global marker index (bayes.cpp:122 uses mglo).
-        keep = np.array([rid in ref_idx for rid in rsid[:m_total]])
-        rmglo = np.array([ref_idx.get(rid, -1) for rid in rsid[:m_total]])
-
         y = ph.epsilon_padded()                             # centered+scaled
         y_planes = jnp.asarray(to_phase_planes(y), dtype)
 
-        if n_dev > 1:
+        if n_dev > 1 and nproc == 1:
             g, xtx, xty = _sharded_predict_sums(
-                bed, na, mave, msig, beta_mean[:m_total], y_planes, keep,
+                bed, na, mave, msig, beta_mean, y_planes, keep,
                 n_devices=opt.n_devices, dtype=dtype)
         else:
             g, xtx, xty = _chunked_predict_sums(
-                bed, na, mave, msig, beta_mean[:m_total], y_planes, keep,
+                bed, na, mave, msig, beta_mean, y_planes, keep,
                 dtype=dtype)
         # Single shard: g_k == g, so y_k = y (reference 1-rank behavior;
-        # the sharded pass keeps the same semantics so outputs are
-        # byte-identical across device counts).
+        # the sharded/multi-process passes keep the same semantics so
+        # outputs are byte-identical across layouts).
         sigma = float(np.asarray(y) @ np.asarray(y)) / ph.nonas
 
         xtx = np.asarray(xtx, np.float64)
@@ -215,17 +246,23 @@ def run_predict(opt: Options, verbose: bool = True):
             jax.scipy.special.gammainc(0.5, tdist ** 2 * 0.5))
 
         mlma_path = base + ".mlma"
-        if os.path.exists(mlma_path):
-            os.remove(mlma_path)
-        n_rem = 0
-        with open(mlma_path, "w") as fh:
-            for j in range(m_total):
-                if not keep[j]:
-                    print(f"WARNING: marker id {rsid[j]} excluded -- no match")
-                    n_rem += 1
+        if pid == 0:
+            if os.path.exists(mlma_path):
+                os.remove(mlma_path)
+            with open(mlma_path, "wb") as fh:
+                fh.truncate(n_keep * MLMA_LINE_LEN)
+        _sync_processes("mlma-create")
+        with open(mlma_path, "r+b") as fh:
+            for jl in range(m_loc):
+                j = s0 + jl
+                if not keep[jl]:
+                    print(f"WARNING: marker id {rsid[j]} excluded -- "
+                          f"no match")
                     continue
+                fh.seek(int(line_no[j]) * MLMA_LINE_LEN)
                 fh.write(format_mlma_line(
-                    rsid[j], j, int(rmglo[j]), beta[j], tdist[j], se[j],
-                    pval[j]))
-        if verbose:
-            print(f"INFO   : wrote {m_total - n_rem} markers to {mlma_path}")
+                    rsid[j], j, int(rmglo[jl]), beta[jl], tdist[jl],
+                    se[jl], pval[jl]).encode())
+        _sync_processes("mlma-done")
+        if verbose and pid == 0:
+            print(f"INFO   : wrote {n_keep} markers to {mlma_path}")

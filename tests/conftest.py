@@ -27,8 +27,21 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/gmrm_jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
+import subprocess
+
 import numpy as np
 import pytest
+
+# Build the native IO library if missing so its tests never silently skip
+# (the reference's MPI-IO layer analog, _native/io_native.cpp).
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_SO = os.path.join(_REPO, "_native", "libgmrm_io.so")
+if not os.path.exists(_SO):
+    try:
+        subprocess.run(["make", "-C", os.path.join(_REPO, "_native")],
+                       check=True, capture_output=True, timeout=120)
+    except Exception:
+        pass  # test_native.py will skip with its usual reason
 
 
 @pytest.fixture(scope="session")

@@ -8,7 +8,8 @@ bit-for-bit with a single-process 8-device run: the sampler's draws depend
 only on the global mesh size and seed, not on the process layout, so they
 must be identical.
 
-Usage: python multiprocess_worker.py <pid> <nprocs> <port> <data> <out>
+Usage: python multiprocess_worker.py <pid> <nprocs> <port> <data> <out> \
+           [train|predict]
 """
 
 import os
@@ -18,6 +19,7 @@ import sys
 def main():
     pid, nprocs, port = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
     data_dir, out_dir = sys.argv[4], sys.argv[5]
+    mode = sys.argv[6] if len(sys.argv) > 6 else "train"
 
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
     os.environ["JAX_PLATFORMS"] = "cpu"
@@ -40,15 +42,28 @@ def main():
         os.path.join(data_dir, f) for f in os.listdir(data_dir)
         if f.endswith(".phen")
     )
-    opt = Options(
-        bed_file=f"{data_dir}/test.bed", dim_file=f"{data_dir}/test.dim",
-        phen_files=phens,
-        group_index_file=f"{data_dir}/test.gri",
-        group_mixture_file=f"{data_dir}/test.grm",
-        iterations=10, seed=42, out_dir=out_dir, block_size=16,
-        output_thin_rate=2,
-    )
-    run_training_sharded(opt, verbose=False)
+    if mode == "predict":
+        # Multi-process predict: per-process .bed/.bet slice reads and
+        # positioned .mlma writes (reference bayes.cpp:93-136, 223-254).
+        from gmrm_tpu.predict import run_predict
+        opt = Options(
+            bed_file=f"{data_dir}/test.bed",
+            dim_file=f"{data_dir}/test.dim", phen_files=phens,
+            bim_file=f"{data_dir}/test.bim",
+            ref_bim_file=f"{data_dir}/test.bim",
+            out_dir=out_dir, predict=True,
+        )
+        run_predict(opt, verbose=False)
+    else:
+        opt = Options(
+            bed_file=f"{data_dir}/test.bed", dim_file=f"{data_dir}/test.dim",
+            phen_files=phens,
+            group_index_file=f"{data_dir}/test.gri",
+            group_mixture_file=f"{data_dir}/test.grm",
+            iterations=10, seed=42, out_dir=out_dir, block_size=16,
+            output_thin_rate=2,
+        )
+        run_training_sharded(opt, verbose=False)
     print(f"worker {pid}: done", flush=True)
 
 

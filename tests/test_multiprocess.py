@@ -71,6 +71,61 @@ run_training_sharded(opt, verbose=False)
     subprocess.run([sys.executable, "-c", code], check=True, timeout=900)
 
 
+def _run_predict_single(data_dir, out_dir):
+    code = f"""
+import os, sys
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/gmrm_jax_cache")
+import jax
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, {REPO!r})
+from gmrm_tpu.config import Options
+from gmrm_tpu.predict import run_predict
+phens = sorted(os.path.join({data_dir!r}, f) for f in os.listdir({data_dir!r})
+               if f.endswith(".phen"))
+opt = Options(bed_file={data_dir!r} + "/test.bed",
+              dim_file={data_dir!r} + "/test.dim", phen_files=phens,
+              bim_file={data_dir!r} + "/test.bim",
+              ref_bim_file={data_dir!r} + "/test.bim",
+              out_dir={out_dir!r}, predict=True)
+run_predict(opt, verbose=False)
+"""
+    subprocess.run([sys.executable, "-c", code], check=True, timeout=900)
+
+
+def test_two_process_predict_matches_single_process(mp_dataset, tmp_path):
+    """Multi-process predict: per-process .bed/.bet slice reads +
+    positioned .mlma writes must produce BYTE-IDENTICAL output to the
+    single-process run (the reference's per-rank MPI_File_write_at
+    protocol, bayes.cpp:223-254; per-marker OLS never crosses ranks)."""
+    out = str(tmp_path / "outp")
+    # Train once (single process) to produce the .bet chains.
+    _run_single(mp_dataset, out)
+    _run_predict_single(mp_dataset, out)
+    import glob
+    singles = {os.path.basename(p): open(p, "rb").read()
+               for p in glob.glob(f"{out}/*.mlma")}
+    assert singles
+
+    port = _free_port()
+    worker = os.path.join(HERE, "multiprocess_worker.py")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(pid), "2", str(port), mp_dataset,
+             out, "predict"],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for pid in range(2)
+    ]
+    for p in procs:
+        out_text, _ = p.communicate(timeout=900)
+        assert p.returncode == 0, out_text[-3000:]
+
+    for name, blob in singles.items():
+        two = open(os.path.join(out, name), "rb").read()
+        assert two == blob, f"{name}: 2-process .mlma differs"
+
+
 def test_two_process_run_matches_single_process(mp_dataset, tmp_path):
     out_mp = str(tmp_path / "out_mp")
     out_sp = str(tmp_path / "out_sp")
