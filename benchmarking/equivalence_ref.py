@@ -99,6 +99,142 @@ def summarize(tag, chain, burn_frac=0.4):
     }
 
 
+def run_seed_pair(sim, data, binary, iterations, thin, n_traits, n_groups,
+                  burn, ref_seed, our_seed, wave, tag):
+    """One (reference, ours) chain pair -> list of per-trait summaries."""
+    ref_out = f"/tmp/gmrm_equiv_ref_{tag}"
+    t_ref = run_reference(binary, data, ref_out, iterations, thin,
+                          seed=ref_seed, n_traits=n_traits)
+    ours_out = f"/tmp/gmrm_equiv_ours_{tag}"
+    _, t_ours = run_ours(
+        dict(
+            bed_file=sim.bed, dim_file=sim.dim, phen_files=sim.phens,
+            group_index_file=sim.gri, group_mixture_file=sim.grm,
+            iterations=iterations, seed=our_seed, output_thin_rate=thin,
+            block_size=128, wave_size=wave,
+            use_pallas=True if wave > 1 else None,
+        ),
+        ours_out,
+    )
+    rows = []
+    for t in range(n_traits):
+        ref_chain = parse_csv_chain(f"{ref_out}/test{t + 1}.csv", n_groups)
+        our_chain = parse_csv_chain(f"{ours_out}/test{t + 1}.csv", n_groups)
+        rs = summarize("ref", ref_chain, burn)
+        os_ = summarize("ours", our_chain, burn)
+        _, ref_bet = read_history(f"{ref_out}/test{t + 1}.bet", "f8")
+        _, our_bet = read_history(f"{ours_out}/test{t + 1}.bet", "f8")
+        nb = ref_bet.shape[0]
+        bref = ref_bet[int(nb * burn):].mean(axis=0)
+        bours = our_bet[int(our_bet.shape[0] * burn):].mean(axis=0)
+        rows.append({
+            "trait": t, "ref": rs, "ours": os_,
+            "corr_x": float(np.corrcoef(bref, bours)[0, 1]),
+            "corr_ref_truth":
+                float(np.corrcoef(bref, sim.beta_true[:, t])[0, 1]),
+            "corr_ours_truth":
+                float(np.corrcoef(bours, sim.beta_true[:, t])[0, 1]),
+            "t_ref": t_ref, "t_ours": t_ours,
+        })
+    return rows
+
+
+def multiseed(args):
+    """>= 3 seeds at the production cadence (B=128, W=16) plus one W=1
+    control; pooled-vs-pooled h2 with tolerances from the across-seed
+    spread (per-seed MC error bars), not a fixed 0.03."""
+    iterations = 400 if args.quick else 800
+    thin = 2
+    n, m = args.n, args.m
+    n_traits, n_groups, burn = 2, 2, 0.4
+
+    from gmrm_tpu.io.sim import simulate
+    data = "/tmp/gmrm_equiv_data"
+    sim = simulate(data, n=n, m=m, n_traits=n_traits, n_causal=m // 4,
+                   h2=0.5, n_groups=n_groups, na_rate=0.01, seed=20260819,
+                   mixtures=np.array([0.0, 0.0001, 0.001, 0.01]))
+    binary = os.path.join(REPO, "baseline", "build", "gmrm_ref")
+    if not os.path.exists(binary):
+        subprocess.run(["make", "-C", os.path.join(REPO, "baseline")],
+                       check=True, capture_output=True)
+
+    S = args.seeds
+    per_seed = []        # [seed][trait] summaries, production W=16
+    for i in range(S):
+        per_seed.append(run_seed_pair(
+            sim, data, binary, iterations, thin, n_traits, n_groups, burn,
+            ref_seed=171014 + 1000 * i, our_seed=42 + i, wave=16,
+            tag=f"s{i}"))
+        print(f"# seed pair {i} done", flush=True)
+    control = run_seed_pair(
+        sim, data, binary, iterations, thin, n_traits, n_groups, burn,
+        ref_seed=999171014, our_seed=4242, wave=1, tag="w1")
+    print("# W=1 control done", flush=True)
+
+    lines = [
+        "# MCMC equivalence: gmrm_tpu vs compiled reference gmrm "
+        "(multi-seed)",
+        "",
+        f"Dataset: N={n} x M={m}, {n_traits} traits, {n_groups} groups, "
+        f"1% phenotype NAs, h2=0.5 (realized "
+        f"{np.round(sim.h2_realized, 3).tolist()}).",
+        f"{S} independent seed pairs at the PRODUCTION cadence (block 128, "
+        f"wave 16, fused Pallas kernels + mega-kernel) of {iterations} "
+        f"iterations, thin {thin}, burn-in {int(burn*100)}%, plus one "
+        f"exact-serial W=1 control pair.  Tolerance: |pooled h2 diff| <= "
+        f"3 x hypot(SEM_ref, SEM_ours) over seeds (floor 0.015), the "
+        f"per-seed-MC-error criterion of VERDICT r2 item 5.",
+        "",
+        "| trait | seed | impl | h2 mean | h2 sd | sigmaE mean | beta corr"
+        " (x-impl) |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    ok = True
+    for t in range(n_traits):
+        h2r = np.array([per_seed[i][t]["ref"]["h2_mean"] for i in range(S)])
+        h2o = np.array([per_seed[i][t]["ours"]["h2_mean"] for i in range(S)])
+        for i in range(S):
+            r, o = per_seed[i][t]["ref"], per_seed[i][t]["ours"]
+            lines.append(
+                f"| {t} | {i} | reference | {r['h2_mean']:.4f} | "
+                f"{r['h2_sd']:.4f} | {r['sigmae_mean']:.4f} | "
+                f"{per_seed[i][t]['corr_x']:.4f} |")
+            lines.append(
+                f"| {t} | {i} | gmrm_tpu | {o['h2_mean']:.4f} | "
+                f"{o['h2_sd']:.4f} | {o['sigmae_mean']:.4f} |  |")
+        sem_r = h2r.std(ddof=1) / np.sqrt(S)
+        sem_o = h2o.std(ddof=1) / np.sqrt(S)
+        tol = max(3.0 * float(np.hypot(sem_r, sem_o)), 0.015)
+        diff = abs(h2r.mean() - h2o.mean())
+        corr_min = min(per_seed[i][t]["corr_x"] for i in range(S))
+        pass_h2 = diff <= tol
+        pass_corr = corr_min >= 0.9
+        ok = ok and pass_h2 and pass_corr
+        lines.append(
+            f"| {t} | pooled | diff {diff:.4f} <= tol {tol:.4f}: "
+            f"{'PASS' if pass_h2 else 'FAIL'} | ref "
+            f"{h2r.mean():.4f}±{sem_r:.4f} | ours "
+            f"{h2o.mean():.4f}±{sem_o:.4f} | min corr {corr_min:.4f} >= "
+            f"0.9: {'PASS' if pass_corr else 'FAIL'} | |")
+        c = control[t]
+        cd = abs(c["ref"]["h2_mean"] - c["ours"]["h2_mean"])
+        ctol = max(3.0 * np.hypot(c["ref"]["h2_sd"], c["ours"]["h2_sd"])
+                   / np.sqrt(c["ref"]["records"] * (1 - burn)), 0.03)
+        pass_c = cd <= ctol and c["corr_x"] >= 0.9
+        ok = ok and pass_c
+        lines.append(
+            f"| {t} | W=1 ctl | diff {cd:.4f} <= {ctol:.4f} & corr "
+            f"{c['corr_x']:.4f}: {'PASS' if pass_c else 'FAIL'} | "
+            f"{c['ref']['h2_mean']:.4f} | {c['ours']['h2_mean']:.4f} | | |")
+
+    lines += ["", f"**Overall: {'PASS' if ok else 'FAIL'}**", ""]
+    report = "\n".join(lines)
+    with open(os.path.join(HERE, "EQUIVALENCE.md"), "w") as fh:
+        fh.write(report)
+    print(report)
+    sys.exit(0 if ok else 1)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
@@ -108,7 +244,13 @@ def main():
     ap.add_argument("--wave", type=int, default=1,
                     help="wave_size for our sampler (validates the wave "
                          "relaxation against the reference chains)")
+    ap.add_argument("--seeds", type=int, default=0,
+                    help=">= 1: multi-seed production-cadence mode "
+                         "(writes the multi-seed EQUIVALENCE.md)")
     args = ap.parse_args()
+    if args.seeds:
+        multiseed(args)
+        return
 
     iterations = 400 if args.quick else 1200
     thin = 2 if args.quick else 4

@@ -59,16 +59,21 @@ def vmem_fits(n_traits: int, block_size: int, mb_pad: int,
               budget_bytes: int = 12 * 1024 * 1024) -> bool:
     """Conservative VMEM feasibility estimate for the mega-kernel."""
     bed = 2 * block_size * mb_pad                      # double-buffered u8
+    bedp = 2 * block_size * mb_pad                     # permuted bf16 scratch
     planes = 4 * n_traits * 4 * mb_pad * 4             # eps0/na/eps_s/out f32
     gram = (2 * block_size) ** 2 * 4 + \
         n_traits * block_size * block_size * 4         # gfull + gs
     transients = 3 * (2 * block_size) * 4 * _LANES * 2   # a/b/ab bf16 tiles
-    return bed + planes + gram + transients < budget_bytes
+    return bed + bedp + planes + gram + transients < budget_bytes
 
 
 def _sweep_kernel(
+    blkidx_ref,      # (nblocks,) i32 scalar-prefetch: processing step b
+                     # reads natural bed block blkidx[b] (index maps only)
     # inputs (per grid step b unless noted)
-    bed_ref,         # (B, mb_pad) u8
+    bed_ref,         # (B, mb_pad) u8 — natural block blkidx[b]
+    win_ref,         # (1, 1, B) i32: within-block shuffle, processing
+                     # row i is natural row win[i] of this block
     eps0_ref,        # (T, 4, mb_pad) f32   [grid-constant]
     na_ref,          # (NT, 4, mb_pad) f32  [grid-constant; NT=1 if shared]
     mave_ref,        # (1, T, B) f32
@@ -92,6 +97,7 @@ def _sweep_kernel(
     comp_new_ref,    # (1, T, B) i32
     acum_new_ref,    # (1, T, B) f32
     # scratch
+    bedp_s,          # (B, mb_pad) bf16: within-block-permuted packed bytes
     eps_s,           # (T, 4, mb_pad) f32
     gfull_s,         # (NT, 2B, 2B) f32
     cab_s,           # (2T, 2B) f32
@@ -117,13 +123,28 @@ def _sweep_kernel(
     def _():
         eps_s[...] = eps0_ref[...]
 
+    # ---- phase 0: within-block row shuffle of the packed bed ------------
+    # One exact MXU pass: P[i, j] = (win[i] == j); u8 values <= 255 are
+    # exact in bf16, one nonzero per row, f32 accumulate -> exact bytes.
+    # This replaces the former whole-bed HBM permute (1.73 ms/iter at the
+    # bench anchor, PROFILE.md): the bed stays in natural order in HBM,
+    # block order comes from the scalar-prefetched index map, row order
+    # from this in-VMEM permute.
+    perm_mat = (jax.lax.broadcasted_iota(jnp.int32, (B, B), 1)
+                == jnp.transpose(win_ref[0])).astype(_BF16)
+    bedp_s[...] = jax.lax.dot_general(
+        perm_mat,
+        bed_ref[...].astype(jnp.int32).astype(_BF16),  # u8->bf16 via i32
+        (((1,), (0,)), ((), ())),                      # (Mosaic cast rule)
+        preferred_element_type=_F32).astype(_BF16)
+
     # ---- phase 1: fused decode + Gram over lane tiles -------------------
     gfull_s[...] = jnp.zeros(gfull_s.shape, _F32)
     cab_s[...] = jnp.zeros(cab_s.shape, _F32)
 
     def gram_tile(i, _):
         off = pl.multiple_of(i * TN, TN)
-        bed_t = bed_ref[:, pl.ds(off, TN)]               # (B, TN) u8
+        bed_t = bedp_s[:, pl.ds(off, TN)]                # (B, TN) bf16
         full = jnp.ones((1, TN), bool)
         a, b2 = _decode_tile(bed_t, full)                 # (B, 4TN) bf16
         ab = jnp.concatenate([a, b2], axis=0)             # (2B, 4TN)
@@ -254,7 +275,7 @@ def _sweep_kernel(
 
     def upd_tile(i, _):
         off = pl.multiple_of(i * TN, TN)
-        bed_t = bed_ref[:, pl.ds(off, TN)]
+        bed_t = bedp_s[:, pl.ds(off, TN)]
         full = jnp.ones((1, TN), bool)
         a, b2 = _decode_tile(bed_t, full)
         ab = jnp.concatenate([a, b2], axis=0)             # (2B, 4TN)
@@ -285,31 +306,34 @@ def _build_sweep_call(nblocks, B, mb_pad, T, K, W, shared_na, interpret):
     kern = functools.partial(_sweep_kernel, n_mix=K, n_traits=T, wave=W,
                              shared_na=shared_na)
     in_specs = [
-        pl.BlockSpec((B, mb_pad), lambda b: (b, 0)),            # bed
-        pl.BlockSpec((T, 4, mb_pad), lambda b: (0, 0, 0)),      # eps0
-        pl.BlockSpec((NT, 4, mb_pad), lambda b: (0, 0, 0)),     # na
-        pl.BlockSpec((1, T, B), lambda b: (b, 0, 0)),           # mave
-        pl.BlockSpec((1, T, B), lambda b: (b, 0, 0)),           # msig
-        pl.BlockSpec((1, T, B), lambda b: (b, 0, 0)),           # beta_old
-        pl.BlockSpec((1, T, B), lambda b: (b, 0, 0)),           # comp_old
-        pl.BlockSpec((1, T, B), lambda b: (b, 0, 0)),           # acum_old
-        pl.BlockSpec((1, T, B), lambda b: (b, 0, 0)),           # u
-        pl.BlockSpec((1, T, B), lambda b: (b, 0, 0)),           # z
-        pl.BlockSpec((1, T, B), lambda b: (b, 0, 0)),           # live
-        pl.BlockSpec((1, T, B), lambda b: (b, 0, 0)),           # zerob
-        pl.BlockSpec((1, T, B * KK), lambda b: (b, 0, 0)),      # lcd
-        pl.BlockSpec((1, T, B * KK), lambda b: (b, 0, 0)),      # rdd
-        pl.BlockSpec((1, K, T, B), lambda b: (b, 0, 0, 0)),     # rd
-        pl.BlockSpec((1, K, T, B), lambda b: (b, 0, 0, 0)),     # sqb
-        pl.BlockSpec((T, 1), lambda b: (0, 0)),                 # i2se
-        pl.BlockSpec((T, 1), lambda b: (0, 0)),                 # nonas
+        # bed stays in natural order in HBM; processing step b DMAs
+        # natural block blkidx[b] (the scalar-prefetched block order).
+        pl.BlockSpec((B, mb_pad), lambda b, blk: (blk[b], 0)),     # bed
+        pl.BlockSpec((1, 1, B), lambda b, blk: (b, 0, 0)),         # win
+        pl.BlockSpec((T, 4, mb_pad), lambda b, blk: (0, 0, 0)),    # eps0
+        pl.BlockSpec((NT, 4, mb_pad), lambda b, blk: (0, 0, 0)),   # na
+        pl.BlockSpec((1, T, B), lambda b, blk: (b, 0, 0)),         # mave
+        pl.BlockSpec((1, T, B), lambda b, blk: (b, 0, 0)),         # msig
+        pl.BlockSpec((1, T, B), lambda b, blk: (b, 0, 0)),         # beta_old
+        pl.BlockSpec((1, T, B), lambda b, blk: (b, 0, 0)),         # comp_old
+        pl.BlockSpec((1, T, B), lambda b, blk: (b, 0, 0)),         # acum_old
+        pl.BlockSpec((1, T, B), lambda b, blk: (b, 0, 0)),         # u
+        pl.BlockSpec((1, T, B), lambda b, blk: (b, 0, 0)),         # z
+        pl.BlockSpec((1, T, B), lambda b, blk: (b, 0, 0)),         # live
+        pl.BlockSpec((1, T, B), lambda b, blk: (b, 0, 0)),         # zerob
+        pl.BlockSpec((1, T, B * KK), lambda b, blk: (b, 0, 0)),    # lcd
+        pl.BlockSpec((1, T, B * KK), lambda b, blk: (b, 0, 0)),    # rdd
+        pl.BlockSpec((1, K, T, B), lambda b, blk: (b, 0, 0, 0)),   # rd
+        pl.BlockSpec((1, K, T, B), lambda b, blk: (b, 0, 0, 0)),   # sqb
+        pl.BlockSpec((T, 1), lambda b, blk: (0, 0)),               # i2se
+        pl.BlockSpec((T, 1), lambda b, blk: (0, 0)),               # nonas
     ]
     out_specs = [
-        pl.BlockSpec((T, 4, mb_pad), lambda b: (0, 0, 0)),      # eps_out
-        pl.BlockSpec((1, T, B), lambda b: (b, 0, 0)),           # dbeta
-        pl.BlockSpec((1, T, B), lambda b: (b, 0, 0)),           # beta_new
-        pl.BlockSpec((1, T, B), lambda b: (b, 0, 0)),           # comp_new
-        pl.BlockSpec((1, T, B), lambda b: (b, 0, 0)),           # acum_new
+        pl.BlockSpec((T, 4, mb_pad), lambda b, blk: (0, 0, 0)),    # eps_out
+        pl.BlockSpec((1, T, B), lambda b, blk: (b, 0, 0)),         # dbeta
+        pl.BlockSpec((1, T, B), lambda b, blk: (b, 0, 0)),         # beta_new
+        pl.BlockSpec((1, T, B), lambda b, blk: (b, 0, 0)),         # comp_new
+        pl.BlockSpec((1, T, B), lambda b, blk: (b, 0, 0)),         # acum_new
     ]
     out_shape = [
         jax.ShapeDtypeStruct((T, 4, mb_pad), _F32),
@@ -319,6 +343,7 @@ def _build_sweep_call(nblocks, B, mb_pad, T, K, W, shared_na, interpret):
         jax.ShapeDtypeStruct((nblocks, T, B), _F32),
     ]
     scratch = [
+        pltpu.VMEM((B, mb_pad), _BF16),                         # bedp
         pltpu.VMEM((T, 4, mb_pad), _F32),                       # eps_s
         pltpu.VMEM((NT, 2 * B, 2 * B), _F32),                   # gfull
         pltpu.VMEM((2 * T, 2 * B), _F32),                       # cab
@@ -326,36 +351,44 @@ def _build_sweep_call(nblocks, B, mb_pad, T, K, W, shared_na, interpret):
         pltpu.VMEM((T, B), _F32),                               # corr
         pltpu.VMEM((T, B), _F32),                               # dbeta
     ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblocks,),
+        in_specs=in_specs, out_specs=out_specs, scratch_shapes=scratch,
+    )
     return pl.pallas_call(
-        kern, grid=(nblocks,),
-        in_specs=in_specs, out_specs=out_specs, out_shape=out_shape,
-        scratch_shapes=scratch, interpret=interpret,
+        kern, grid_spec=grid_spec, out_shape=out_shape, interpret=interpret,
     )
 
 
 def sweep_blocks_pallas(
-    bed_p, eps0, na, mave_p, msig_p,
+    bed, blkidx, win_p, eps0, na, mave_p, msig_p,
     beta_old_p, comp_old_p, acum_old_p, u_p, z_p, live_p, zerob_p,
     lcd_p, rdd_p, rd_p, sqb_p, i2se, nonas_col,
     *, wave: int, shared_na: bool, interpret: bool = False,
 ):
     """Run the whole-sweep mega-kernel.
 
-    bed_p (nblocks*B, mb_pad) u8; eps0/na (T|1, 4, mb_pad) f32; the *_p
-    arrays (nblocks, ...) per-block prep (see gibbs.marker_sweep).
+    bed (nblocks*B, mb_pad) u8 in NATURAL order; blkidx (nblocks,) i32 the
+    processing order of natural blocks (scalar-prefetched into the DMA
+    index map); win_p (nblocks, B) i32 the within-block row shuffle;
+    eps0/na (T|1, 4, mb_pad) f32; the *_p arrays (nblocks, ...) per-block
+    prep in PROCESSING order (see gibbs.marker_sweep).
     Returns (eps_out, dbeta_p, beta_new_p, comp_new_p, acum_new_p).
     """
     nblocks, T, B = beta_old_p.shape
     K = rd_p.shape[1]
-    mb_pad = bed_p.shape[1]
+    mb_pad = bed.shape[1]
     assert mb_pad % _LANES == 0, "pad packed columns to the lane tile"
-    assert bed_p.shape[0] == nblocks * B
+    assert bed.shape[0] == nblocks * B
     call = _build_sweep_call(nblocks, B, mb_pad, T, K, wave,
                              bool(shared_na),
                              resolve_interpret(interpret or FORCE_INTERPRET))
     na_in = na[:1] if shared_na else na
     return call(
-        bed_p, eps0.astype(_F32), na_in.astype(_F32),
+        blkidx.astype(jnp.int32),
+        bed, win_p.astype(jnp.int32).reshape(nblocks, 1, B),
+        eps0.astype(_F32), na_in.astype(_F32),
         mave_p.astype(_F32), msig_p.astype(_F32),
         beta_old_p.astype(_F32), comp_old_p.astype(jnp.int32),
         acum_old_p.astype(_F32), u_p.astype(_F32), z_p.astype(_F32),

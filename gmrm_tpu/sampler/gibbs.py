@@ -58,6 +58,7 @@ def marker_sweep(
     pallas_gram: bool = True,
     pallas_upd: bool = False,
     megakernel=None,
+    block_perm=None,
 ):
     """The full marker sweep (reference loop bayes.cpp:375-553) over Gram
     blocks, with all randomness injected — directly comparable to the NumPy
@@ -133,7 +134,23 @@ def marker_sweep(
         xp = xp.reshape(x.shape[0], nblocks, B)
         return jnp.moveaxis(xp, 1, 0)
 
-    bed_p = permuted_blocks(static.bed, 0)            # (nblocks, B, mb)
+    # --- whole-sweep mega-kernel path (single device, f32, wave mode) ----
+    # One pallas_call for the entire sweep: no per-block launches, the
+    # residual and Gram stay in VMEM (ops/sweep_kernel.py).  Requires the
+    # block-preserving permutation from gibbs_iteration (``block_perm``):
+    # the bed never moves in HBM — block order rides the scalar-prefetched
+    # DMA index map, row order an in-kernel MXU permute.
+    mega = (use_pallas and pallas_gram and axis_name is None
+            and dtype == jnp.float32 and wave_size > 1
+            and B % wave_size == 0 and megakernel is not False
+            and block_perm is not None)
+    if mega:
+        from gmrm_tpu.ops.sweep_kernel import (
+            sweep_blocks_pallas, build_sweep_prep, vmem_fits,
+        )
+        mega = megakernel or vmem_fits(T, B, static.bed.shape[1])
+
+    bed_p = None if mega else permuted_blocks(static.bed, 0)  # (nb, B, mb)
     mave_p = permuted_blocks(static.mave, 1)          # (nblocks, T, B)
     msig_p = permuted_blocks(static.msig, 1)
     grp_p = permuted_blocks(static.group_of, 0)       # (nblocks, B)
@@ -142,17 +159,6 @@ def marker_sweep(
     comp_old_p = permuted_blocks(comp, 1)
     acum_old_p = permuted_blocks(acum, 1)
 
-    # --- whole-sweep mega-kernel path (single device, f32, wave mode) ----
-    # One pallas_call for the entire sweep: no per-block launches, the
-    # residual and Gram stay in VMEM (ops/sweep_kernel.py).
-    mega = (use_pallas and pallas_gram and axis_name is None
-            and dtype == jnp.float32 and wave_size > 1
-            and B % wave_size == 0 and megakernel is not False)
-    if mega:
-        from gmrm_tpu.ops.sweep_kernel import (
-            sweep_blocks_pallas, build_sweep_prep, vmem_fits,
-        )
-        mega = megakernel or vmem_fits(T, B, static.bed.shape[1])
     if mega:
         G, K = static.cva.shape
         lcd_p, rdd_p, rd_p, sqb_p, live_p, zerob_p = build_sweep_prep(
@@ -163,7 +169,7 @@ def marker_sweep(
         nonas_col = nonas.astype(jnp.float32)[:, None]
         eps_out, _dbeta_p, beta_new_p, comp_new_p, acum_new_p = \
             sweep_blocks_pallas(
-                bed_p.reshape(m_pad, -1), eps, na,
+                static.bed, block_perm[0], block_perm[1], eps, na,
                 mave_p, msig_p, beta_old_p, comp_old_p, acum_old_p,
                 u_all, z_all, live_p, zerob_p,
                 lcd_p, rdd_p, rd_p, sqb_p, i2se, nonas_col,
@@ -273,18 +279,50 @@ def gibbs_iteration(
     eps = eps - mu_new[:, None, None] * na
 
     # --- 2. shuffled processing order ------------------------------------
-    # Uniform shuffle of the real markers with pad slots pinned to the end
-    # (supports per-device remainder markers under a common nblocks, the
-    # reference's Mm idle-step scheme, bayes.cpp:375-382).
-    if shuffle:
+    # Two schemes:
+    # (a) uniform shuffle of the real markers with pad slots pinned to the
+    #     end (supports per-device remainder markers under a common
+    #     nblocks, the reference's Mm idle-step scheme, bayes.cpp:375-382)
+    #     + one physical permute of every marker-indexed operand;
+    # (b) block-preserving shuffle for the mega-kernel path: random block
+    #     order x random within-block row order, consumed by the kernel as
+    #     a scalar-prefetched DMA index + in-kernel MXU row permute — the
+    #     bed never moves in HBM.  The reference itself shuffles only
+    #     within each rank's FIXED marker block (phenotype.cpp:314-323,
+    #     per-rank midx), so (b) is at least as random as the reference's
+    #     own multi-rank semantics; the wave relaxation's within-wave
+    #     pairings re-randomize every iteration under both schemes.
+    block_mode = (use_pallas and pallas_gram and axis_name is None
+                  and dtype == jnp.float32 and wave_size > 1
+                  and B % wave_size == 0)
+    if block_mode:
+        from gmrm_tpu.ops.sweep_kernel import vmem_fits
+        # NOTE: deliberately independent of megakernel=False so that a
+        # force-disabled composed run shuffles identically to the mega run
+        # it is A/B'd against (bench_mega.py / test_sweep_kernel.py).
+        block_mode = bool(megakernel) or vmem_fits(
+            T, B, static.bed.shape[1])
+    pi_b = win = None
+    if shuffle and not block_mode:
         r = jr.uniform(k_perm, (m_pad,))
         r = jnp.where(jnp.arange(m_pad) < static.m_local, r, 2.0)
         perm = jnp.argsort(r)
+    elif shuffle:
+        k_pb, k_pw = jr.split(k_perm)
+        pi_b = jr.permutation(k_pb, jnp.arange(nblocks, dtype=jnp.int32))
+        win = jnp.argsort(jr.uniform(k_pw, (nblocks, B)),
+                          axis=1).astype(jnp.int32)
+        perm = (pi_b[:, None] * B + win).reshape(-1)
     else:
         # --shuffle-markers 0: natural order (options.cpp:64-68; pad slots
         # already sit at the end of the local range).
         perm = jnp.arange(m_pad)
+        if block_mode:
+            pi_b = jnp.arange(nblocks, dtype=jnp.int32)
+            win = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32),
+                                   (nblocks, B))
     blocks = perm.reshape(nblocks, B)
+    block_perm = (pi_b, win) if block_mode else None
 
     u_all = jr.uniform(k_u, (nblocks, T, B), dtype)
     z_all = jr.normal(k_z, (nblocks, T, B), dtype)
@@ -296,7 +334,7 @@ def gibbs_iteration(
         static, blocks, u_all, z_all,
         axis_name=axis_name, use_pallas=use_pallas, shared_na=shared_na,
         wave_size=wave_size, pallas_gram=pallas_gram, pallas_upd=pallas_upd,
-        megakernel=megakernel,
+        megakernel=megakernel, block_perm=block_perm,
     )
 
     # --- 4. hyperparameter block -----------------------------------------
