@@ -184,12 +184,14 @@ def marker_stats_jax(bed, na, nonas, *, dtype=jnp.float32, chunk=512):
     are exact for float32 runs.
     """
     m = bed.shape[0]
-    n_chunks = -(-m // chunk)
-    m_pad = n_chunks * chunk
-    if m_pad != m:
-        pad = jnp.full((m_pad - m, bed.shape[1]), 0x55, dtype=jnp.uint8)
-        bed = jnp.concatenate([bed, pad], axis=0)
-    bed_c = bed.reshape(n_chunks, chunk, -1)
+    # Never copy the bed to pad it (at UKB scale the bed is most of HBM —
+    # a concat doubles peak memory): process the largest chunk-multiple
+    # prefix via lax.map and the small remainder separately.
+    n_chunks = m // chunk
+    m_main = n_chunks * chunk
+    rem = m - m_main
+    bed_c = (bed[:m_main].reshape(n_chunks, chunk, bed.shape[1])
+             if n_chunks else None)
 
     fast = dtype == jnp.float32
     mm_dtype = _BF16 if fast else dtype
@@ -210,11 +212,22 @@ def marker_stats_jax(bed, na, nonas, *, dtype=jnp.float32, chunk=512):
                              preferred_element_type=dtype, precision=_PREC)
         return sa, sb, saa
 
-    sa, sb, saa = jax.lax.map(one_chunk, bed_c)            # (n_chunks, T, chunk)
     t = na.shape[0]
-    sa = jnp.moveaxis(sa, 1, 0).reshape(t, m_pad)[:, :m].astype(dtype)
-    sb = jnp.moveaxis(sb, 1, 0).reshape(t, m_pad)[:, :m].astype(dtype)
-    saa = jnp.moveaxis(saa, 1, 0).reshape(t, m_pad)[:, :m].astype(dtype)
+    if n_chunks:
+        sa, sb, saa = jax.lax.map(one_chunk, bed_c)        # (n_chunks, T, chunk)
+        sa = jnp.moveaxis(sa, 1, 0).reshape(t, m_main)
+        sb = jnp.moveaxis(sb, 1, 0).reshape(t, m_main)
+        saa = jnp.moveaxis(saa, 1, 0).reshape(t, m_main)
+    else:
+        sa = sb = saa = jnp.zeros((t, 0), _F32)
+    if rem:
+        ra, rb, raa = one_chunk(bed[m_main:])
+        sa = jnp.concatenate([sa, ra], axis=1)
+        sb = jnp.concatenate([sb, rb], axis=1)
+        saa = jnp.concatenate([saa, raa], axis=1)
+    sa = sa.astype(dtype)
+    sb = sb.astype(dtype)
+    saa = saa.astype(dtype)
 
     mave = sa / sb
     ssq = saa - 2.0 * mave * sa + mave * mave * sb

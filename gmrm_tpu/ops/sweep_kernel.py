@@ -56,15 +56,17 @@ FORCE_INTERPRET = False
 
 
 def vmem_fits(n_traits: int, block_size: int, mb_pad: int,
-              budget_bytes: int = 12 * 1024 * 1024) -> bool:
+              budget_bytes: int = 14 * 1024 * 1024) -> bool:
     """Conservative VMEM feasibility estimate for the mega-kernel."""
     bed = 2 * block_size * mb_pad                      # double-buffered u8
     bedp = 2 * block_size * mb_pad                     # permuted bf16 scratch
+    gcache = 2 * (2 * block_size) ** 2 * 4             # double-buffered gram
     planes = 4 * n_traits * 4 * mb_pad * 4             # eps0/na/eps_s/out f32
     gram = (2 * block_size) ** 2 * 4 + \
         n_traits * block_size * block_size * 4         # gfull + gs
     transients = 3 * (2 * block_size) * 4 * _LANES * 2   # a/b/ab bf16 tiles
-    return bed + bedp + planes + gram + transients < budget_bytes
+    return (bed + bedp + gcache + planes + gram + transients
+            < budget_bytes)
 
 
 def _sweep_kernel(
@@ -74,6 +76,8 @@ def _sweep_kernel(
     bed_ref,         # (B, mb_pad) u8 — natural block blkidx[b]
     win_ref,         # (1, 1, B) i32: within-block shuffle, processing
                      # row i is natural row win[i] of this block
+    gfull_ref,       # (1, NT, 2B, 2B) f32: precomputed raw Gram quadrants
+                     # of natural block blkidx[b] (build_gram_cache)
     eps0_ref,        # (T, 4, mb_pad) f32   [grid-constant]
     na_ref,          # (NT, 4, mb_pad) f32  [grid-constant; NT=1 if shared]
     mave_ref,        # (1, T, B) f32
@@ -138,11 +142,14 @@ def _sweep_kernel(
         (((1,), (0,)), ((), ())),                      # (Mosaic cast rule)
         preferred_element_type=_F32).astype(_BF16)
 
-    # ---- phase 1: fused decode + Gram over lane tiles -------------------
-    gfull_s[...] = jnp.zeros(gfull_s.shape, _F32)
+    # ---- phase 1: fused decode + x^T.eps over lane tiles ----------------
+    # The Gram itself is NOT recomputed: block membership is fixed under
+    # the block-preserving shuffle and X never changes, so the raw Gram
+    # quadrants come from the precomputed cache (gfull_ref) and only the
+    # residual dot products stream over the bed here.
     cab_s[...] = jnp.zeros(cab_s.shape, _F32)
 
-    def gram_tile(i, _):
+    def cab_tile(i, _):
         off = pl.multiple_of(i * TN, TN)
         bed_t = bedp_s[:, pl.ds(off, TN)]                # (B, TN) bf16
         full = jnp.ones((1, TN), bool)
@@ -157,18 +164,38 @@ def _sweep_kernel(
         cab_s[...] += jax.lax.dot_general(
             rhs, ab, (((1,), (1,)), ((), ())),
             preferred_element_type=_F32)
-
-        nt_range = 1 if shared_na else T
-        for t in range(nt_range):
-            na_t = jnp.concatenate(
-                [na_ref[t, k:k + 1, pl.ds(off, TN)] for k in range(4)],
-                axis=1).astype(_BF16)                     # (1, 4TN)
-            gfull_s[t] += jax.lax.dot_general(
-                ab * na_t, ab, (((1,), (1,)), ((), ())),
-                preferred_element_type=_F32)
         return 0
 
-    jax.lax.fori_loop(0, ntiles, gram_tile, 0)
+    jax.lax.fori_loop(0, ntiles, cab_tile, 0)
+
+    # Permute the cached natural-order Gram to processing order:
+    # G_perm = P2 G P2^T with P2 = blockdiag(P, P) one-hot.  MXU f32 dots
+    # are NOT exact on device (bf16-multipass rounding — the on-device
+    # agreement gate caught this), but one-hot bf16 dots with f32
+    # accumulation ARE.  G entries are exact non-negative integers
+    # (< 2^24), so decompose into base-256 bf16 digits, permute each
+    # digit exactly, and recombine in f32 — bit-identical to having
+    # accumulated the Gram from permuted rows.
+    NT = gfull_s.shape[0]
+    win2 = jnp.concatenate([win_ref[0], win_ref[0] + B], axis=1)  # (1, 2B)
+    p2 = (jax.lax.broadcasted_iota(jnp.int32, (2 * B, 2 * B), 1)
+          == jnp.transpose(win2)).astype(_BF16)
+    for t in range(NT):
+        gf = gfull_ref[0, t]
+        d2 = jnp.floor(gf * (1.0 / 65536.0))
+        r = gf - d2 * 65536.0
+        d1 = jnp.floor(r * (1.0 / 256.0))
+        d0 = r - d1 * 256.0
+        acc = None
+        for dk, scale in ((d2, 65536.0), (d1, 256.0), (d0, 1.0)):
+            tmp = jax.lax.dot_general(
+                p2, dk.astype(_BF16), (((1,), (0,)), ((), ())),
+                preferred_element_type=_F32)
+            res = jax.lax.dot_general(
+                tmp.astype(_BF16), p2, (((1,), (1,)), ((), ())),
+                preferred_element_type=_F32)
+            acc = res * scale if acc is None else acc + res * scale
+        gfull_s[t] = acc
 
     # ---- finalize c, base and the wave-stacked scaled Gram --------------
     mave = mave_ref[0]                                    # (T, B)
@@ -310,6 +337,8 @@ def _build_sweep_call(nblocks, B, mb_pad, T, K, W, shared_na, interpret):
         # natural block blkidx[b] (the scalar-prefetched block order).
         pl.BlockSpec((B, mb_pad), lambda b, blk: (blk[b], 0)),     # bed
         pl.BlockSpec((1, 1, B), lambda b, blk: (b, 0, 0)),         # win
+        pl.BlockSpec((1, NT, 2 * B, 2 * B),
+                     lambda b, blk: (blk[b], 0, 0, 0)),            # gfull
         pl.BlockSpec((T, 4, mb_pad), lambda b, blk: (0, 0, 0)),    # eps0
         pl.BlockSpec((NT, 4, mb_pad), lambda b, blk: (0, 0, 0)),   # na
         pl.BlockSpec((1, T, B), lambda b, blk: (b, 0, 0)),         # mave
@@ -362,7 +391,7 @@ def _build_sweep_call(nblocks, B, mb_pad, T, K, W, shared_na, interpret):
 
 
 def sweep_blocks_pallas(
-    bed, blkidx, win_p, eps0, na, mave_p, msig_p,
+    bed, blkidx, win_p, gram_cache, eps0, na, mave_p, msig_p,
     beta_old_p, comp_old_p, acum_old_p, u_p, z_p, live_p, zerob_p,
     lcd_p, rdd_p, rd_p, sqb_p, i2se, nonas_col,
     *, wave: int, shared_na: bool, interpret: bool = False,
@@ -388,6 +417,7 @@ def sweep_blocks_pallas(
     return call(
         blkidx.astype(jnp.int32),
         bed, win_p.astype(jnp.int32).reshape(nblocks, 1, B),
+        gram_cache.astype(_F32),
         eps0.astype(_F32), na_in.astype(_F32),
         mave_p.astype(_F32), msig_p.astype(_F32),
         beta_old_p.astype(_F32), comp_old_p.astype(jnp.int32),
@@ -457,3 +487,80 @@ def build_sweep_prep(grp_flat, valid_flat, sigmag, sigmae, pi_est,
 
     return (lcd_p, rdd_p, rd_p, sqb_p,
             per_block_tb(live), per_block_tb(zerob))
+
+
+# --------------------------------------------------------------------------
+# One-time Gram cache builder
+# --------------------------------------------------------------------------
+
+def _gram_cache_kernel(bed_ref, na_ref, out_ref, gfull_s,
+                       *, n_traits, shared_na):
+    """Raw Gram quadrants of one natural block, with the EXACT tile-loop
+    accumulation structure of the in-kernel Gram it replaces (same _LANES
+    tiles, same f32 partial sums), so downstream results stay bit-identical
+    to the recompute-every-iteration variant."""
+    T = n_traits
+    B = bed_ref.shape[0]
+    mb_pad = bed_ref.shape[1]
+    TN = _LANES
+    ntiles = mb_pad // TN
+
+    gfull_s[...] = jnp.zeros(gfull_s.shape, _F32)
+
+    def tile(i, _):
+        off = pl.multiple_of(i * TN, TN)
+        bed_t = bed_ref[:, pl.ds(off, TN)]               # (B, TN) u8
+        full = jnp.ones((1, TN), bool)
+        a, b2 = _decode_tile(bed_t, full)                # (B, 4TN) bf16
+        ab = jnp.concatenate([a, b2], axis=0)            # (2B, 4TN)
+        nt_range = 1 if shared_na else T
+        for t in range(nt_range):
+            na_t = jnp.concatenate(
+                [na_ref[t, k:k + 1, pl.ds(off, TN)] for k in range(4)],
+                axis=1).astype(_BF16)                    # (1, 4TN)
+            gfull_s[t] += jax.lax.dot_general(
+                ab * na_t, ab, (((1,), (1,)), ((), ())),
+                preferred_element_type=_F32)
+        return 0
+
+    jax.lax.fori_loop(0, ntiles, tile, 0)
+    out_ref[0] = gfull_s[...]
+
+
+@functools.lru_cache(maxsize=None)
+def _build_gram_cache_call(nblocks, B, mb_pad, T, shared_na, interpret):
+    NT = 1 if shared_na else T
+    kern = functools.partial(_gram_cache_kernel, n_traits=T,
+                             shared_na=shared_na)
+    return pl.pallas_call(
+        kern, grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((B, mb_pad), lambda b: (b, 0)),          # bed
+            pl.BlockSpec((NT, 4, mb_pad), lambda b: (0, 0, 0)),   # na
+        ],
+        out_specs=pl.BlockSpec((1, NT, 2 * B, 2 * B),
+                               lambda b: (b, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((nblocks, NT, 2 * B, 2 * B), _F32),
+        scratch_shapes=[pltpu.VMEM((NT, 2 * B, 2 * B), _F32)],
+        interpret=interpret,
+    )
+
+
+def build_gram_cache(bed, na, *, block_size, shared_na, interpret=False):
+    """Precompute raw Gram quadrants for every natural block.
+
+    bed (m_pad, mb_pad) u8 natural order; na (T, 4, mb_pad).
+    Returns (nblocks, NT, 2B, 2B) f32.  O(M N B) once; the per-iteration
+    mega-kernel then pays only an O(M B^2) load+permute (HBM cost
+    M*2048/B bytes per iteration at B=128).
+    """
+    m_pad, mb_pad = bed.shape
+    assert m_pad % block_size == 0
+    assert mb_pad % _LANES == 0
+    nblocks = m_pad // block_size
+    T = na.shape[0]
+    na_in = na[:1] if shared_na else na
+    call = _build_gram_cache_call(
+        nblocks, block_size, mb_pad, T, bool(shared_na),
+        resolve_interpret(interpret or FORCE_INTERPRET))
+    return call(bed, na_in.astype(_F32))

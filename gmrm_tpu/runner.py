@@ -128,7 +128,24 @@ def build_static(data: LoadedData, opt: Options, dtype) -> StaticInputs:
     valid = (jnp.arange(data.m_pad) < data.m_local)[None, :]
     mave = jnp.where(valid, mave, 0.0)
     msig = jnp.where(valid, msig, 0.0)
+    # Precompute the per-block raw Gram for the mega-kernel path (X and
+    # block membership are iteration-invariant under the block-preserving
+    # shuffle): one O(M N B) pass here turns the per-iteration Gram into
+    # an O(M B^2) cache load (ops/sweep_kernel.py).  ~M*2048/B bytes.
+    gram_cache = None
+    if (dtype == jnp.float32 and opt.wave_size > 1
+            and opt.use_pallas is not False
+            and opt.block_size % opt.wave_size == 0):
+        from gmrm_tpu.ops.sweep_kernel import build_gram_cache, vmem_fits
+        t = data.na.shape[0]
+        if vmem_fits(t, opt.block_size, data.bed.shape[1]):
+            # Same criterion the runners use for the step's shared_na
+            # static hint — the cache NT axis must match it.
+            shared_na = all(ph.nas == 0 for ph in data.phens)
+            gram_cache = build_gram_cache(
+                bed, na, block_size=opt.block_size, shared_na=shared_na)
     return StaticInputs(
+        gram_cache=gram_cache,
         bed=bed, na=na, mave=mave, msig=msig,
         group_of=jnp.asarray(data.group_of),
         mtotgrp=jnp.asarray(data.mtotgrp),

@@ -143,7 +143,8 @@ def marker_sweep(
     mega = (use_pallas and pallas_gram and axis_name is None
             and dtype == jnp.float32 and wave_size > 1
             and B % wave_size == 0 and megakernel is not False
-            and block_perm is not None)
+            and block_perm is not None
+            and static.gram_cache is not None)
     if mega:
         from gmrm_tpu.ops.sweep_kernel import (
             sweep_blocks_pallas, build_sweep_prep, vmem_fits,
@@ -169,7 +170,8 @@ def marker_sweep(
         nonas_col = nonas.astype(jnp.float32)[:, None]
         eps_out, _dbeta_p, beta_new_p, comp_new_p, acum_new_p = \
             sweep_blocks_pallas(
-                static.bed, block_perm[0], block_perm[1], eps, na,
+                static.bed, block_perm[0], block_perm[1],
+                static.gram_cache, eps, na,
                 mave_p, msig_p, beta_old_p, comp_old_p, acum_old_p,
                 u_all, z_all, live_p, zerob_p,
                 lcd_p, rdd_p, rd_p, sqb_p, i2se, nonas_col,
@@ -294,7 +296,8 @@ def gibbs_iteration(
     #     pairings re-randomize every iteration under both schemes.
     block_mode = (use_pallas and pallas_gram and axis_name is None
                   and dtype == jnp.float32 and wave_size > 1
-                  and B % wave_size == 0)
+                  and B % wave_size == 0
+                  and static.gram_cache is not None)
     if block_mode:
         from gmrm_tpu.ops.sweep_kernel import vmem_fits
         # NOTE: deliberately independent of megakernel=False so that a

@@ -48,6 +48,12 @@ class StaticInputs:
     cvai: jnp.ndarray       # (G, K)
     n_total: jnp.ndarray    # () float: the dims N
     m_local: jnp.ndarray    # () int32: real (unpadded) local marker count
+    # Optional precomputed per-natural-block raw Gram quadrants
+    # (nblocks, NT, 2B, 2B) f32 for the mega-kernel path: X does not
+    # change across iterations and block membership is fixed under the
+    # block-preserving shuffle, so the O(M N B) Gram recompute becomes an
+    # O(M B) cache load + in-kernel permute (ops/sweep_kernel.py).
+    gram_cache: Optional[jnp.ndarray] = None
 
 
 def pad_markers(arr: np.ndarray, m_pad: int, fill) -> np.ndarray:

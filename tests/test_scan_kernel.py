@@ -10,13 +10,12 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
-from gmrm_tpu.ops import scan_kernel, scan_kernel_spec
+from gmrm_tpu.ops import scan_kernel
 from gmrm_tpu.ops.scan_kernel_wave import make_block_scan_wave
 from gmrm_tpu.sampler.scan import block_scan
 
 KERNELS = {
     "v1": scan_kernel.block_scan_pallas,
-    "spec": scan_kernel_spec.block_scan_pallas,
     "wave1": make_block_scan_wave(1),
 }
 
