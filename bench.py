@@ -56,15 +56,15 @@ def bench_tpu(data_dir):
     from gmrm_tpu.sampler.gibbs import make_gibbs_step
 
     # block_size/wave_size from the measured sweeps in benchmarking/
-    # PROFILE.md; wave_size=16 is the W-co-scheduled-shards relaxation
-    # validated against the compiled reference's chains
-    # (benchmarking/EQUIVALENCE.md, tests/test_scan_kernel.py).
+    # PROFILE.md; wave_size=32 is the W-co-scheduled-shards relaxation
+    # validated against the compiled reference's chains at 3 seeds
+    # (benchmarking/EQUIVALENCE.md PASS, pooled h2 diff 0.0002-0.0044).
     opt = Options(
         bed_file=f"{data_dir}/test.bed", dim_file=f"{data_dir}/test.dim",
         phen_files=[f"{data_dir}/test{i+1}.phen" for i in range(TRAITS)],
         group_index_file=f"{data_dir}/test.gri",
         group_mixture_file=f"{data_dir}/test.grm",
-        iterations=1, seed=42, block_size=128, wave_size=16,
+        iterations=1, seed=42, block_size=128, wave_size=32,
         output_thin_rate=100_000,
     )
     opt.validate()

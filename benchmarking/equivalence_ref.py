@@ -159,11 +159,12 @@ def multiseed(args):
                        check=True, capture_output=True)
 
     S = args.seeds
-    per_seed = []        # [seed][trait] summaries, production W=16
+    prod_wave = args.wave if args.wave > 1 else 16
+    per_seed = []        # [seed][trait] summaries, production wave
     for i in range(S):
         per_seed.append(run_seed_pair(
             sim, data, binary, iterations, thin, n_traits, n_groups, burn,
-            ref_seed=171014 + 1000 * i, our_seed=42 + i, wave=16,
+            ref_seed=171014 + 1000 * i, our_seed=42 + i, wave=prod_wave,
             tag=f"s{i}"))
         print(f"# seed pair {i} done", flush=True)
     control = run_seed_pair(
@@ -179,7 +180,7 @@ def multiseed(args):
         f"1% phenotype NAs, h2=0.5 (realized "
         f"{np.round(sim.h2_realized, 3).tolist()}).",
         f"{S} independent seed pairs at the PRODUCTION cadence (block 128, "
-        f"wave 16, fused Pallas kernels + mega-kernel) of {iterations} "
+        f"wave {prod_wave}, fused Pallas kernels + mega-kernel) of {iterations} "
         f"iterations, thin {thin}, burn-in {int(burn*100)}%, plus one "
         f"exact-serial W=1 control pair.  Tolerance: |pooled h2 diff| <= "
         f"3 x hypot(SEM_ref, SEM_ours) over seeds (floor 0.015), the "

@@ -169,7 +169,8 @@ def block_eps_update(bed_block, dbeta_scaled, na, mave, *, dtype=jnp.float32):
     return (out[:T] + out[T:]) * na
 
 
-def marker_stats_jax(bed, na, nonas, *, dtype=jnp.float32, chunk=512):
+def marker_stats_jax(bed, na, nonas, *, dtype=jnp.float32, chunk=512,
+                     axis_name=None):
     """Per-marker mean and inverse-sd for all traits, fused single pass.
 
     bed: (M, mb) uint8; na: (T, 4, mb); nonas: (T,).
@@ -184,14 +185,13 @@ def marker_stats_jax(bed, na, nonas, *, dtype=jnp.float32, chunk=512):
     are exact for float32 runs.
     """
     m = bed.shape[0]
-    # Never copy the bed to pad it (at UKB scale the bed is most of HBM —
-    # a concat doubles peak memory): process the largest chunk-multiple
-    # prefix via lax.map and the small remainder separately.
-    n_chunks = m // chunk
-    m_main = n_chunks * chunk
-    rem = m - m_main
-    bed_c = (bed[:m_main].reshape(n_chunks, chunk, bed.shape[1])
-             if n_chunks else None)
+    # Never copy or pad the bed (at UKB scale it is most of HBM — even a
+    # device-side slice is a full copy): scan over chunk starts with
+    # dynamic_slice, so only one (chunk, mb) tile materializes at a time.
+    # The last start is clamped to m - chunk; overlapping rows are simply
+    # recomputed and overwritten at the same output positions.
+    chunk = min(chunk, m)
+    n_steps = -(-m // chunk)
 
     fast = dtype == jnp.float32
     mm_dtype = _BF16 if fast else dtype
@@ -213,18 +213,26 @@ def marker_stats_jax(bed, na, nonas, *, dtype=jnp.float32, chunk=512):
         return sa, sb, saa
 
     t = na.shape[0]
-    if n_chunks:
-        sa, sb, saa = jax.lax.map(one_chunk, bed_c)        # (n_chunks, T, chunk)
-        sa = jnp.moveaxis(sa, 1, 0).reshape(t, m_main)
-        sb = jnp.moveaxis(sb, 1, 0).reshape(t, m_main)
-        saa = jnp.moveaxis(saa, 1, 0).reshape(t, m_main)
-    else:
-        sa = sb = saa = jnp.zeros((t, 0), _F32)
-    if rem:
-        ra, rb, raa = one_chunk(bed[m_main:])
-        sa = jnp.concatenate([sa, ra], axis=1)
-        sb = jnp.concatenate([sb, rb], axis=1)
-        saa = jnp.concatenate([saa, raa], axis=1)
+
+    def body(carry, i):
+        sa_f, sb_f, saa_f = carry
+        start = jnp.minimum(i * chunk, m - chunk)
+        bc = jax.lax.dynamic_slice(bed, (start, 0), (chunk, bed.shape[1]))
+        sa, sb, saa = one_chunk(bc)                        # (T, chunk)
+        sa_f = jax.lax.dynamic_update_slice(sa_f, sa.astype(sa_f.dtype),
+                                            (0, start))
+        sb_f = jax.lax.dynamic_update_slice(sb_f, sb.astype(sb_f.dtype),
+                                            (0, start))
+        saa_f = jax.lax.dynamic_update_slice(saa_f, saa.astype(saa_f.dtype),
+                                             (0, start))
+        return (sa_f, sb_f, saa_f), None
+
+    zeros = jnp.zeros((t, m), _F32 if fast else dtype)
+    if axis_name is not None:
+        # Under shard_map the carry absorbs shard-varying chunk sums.
+        zeros = jax.lax.pcast(zeros, (axis_name,), to='varying')
+    (sa, sb, saa), _ = jax.lax.scan(
+        body, (zeros, zeros, zeros), jnp.arange(n_steps))
     sa = sa.astype(dtype)
     sb = sb.astype(dtype)
     saa = saa.astype(dtype)

@@ -365,7 +365,8 @@ def run_training_sharded(opt: Options, n_devices: int = 0,
 
     stats_fn = jax.jit(
         jax.shard_map(
-            lambda b, nn, no: marker_stats_jax(b, nn, no, dtype=dtype),
+            lambda b, nn, no: marker_stats_jax(b, nn, no, dtype=dtype,
+                                               axis_name=MARKER_AXIS),
             mesh=mesh,
             in_specs=(shard1, rep, rep),
             out_specs=shard2,

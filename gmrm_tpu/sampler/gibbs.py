@@ -151,7 +151,13 @@ def marker_sweep(
         )
         mega = megakernel or vmem_fits(T, B, static.bed.shape[1])
 
-    bed_p = None if mega else permuted_blocks(static.bed, 0)  # (nb, B, mb)
+    # With a block-preserving permutation the bed is never copied: the
+    # mega kernel prefetch-indexes it, the composed body dynamic-slices
+    # natural blocks.  Only the uniform-shuffle paths (sharded / XLA / W=1)
+    # still permute physically.
+    stream_bed = block_perm is not None
+    bed_p = (None if (mega or stream_bed)
+             else permuted_blocks(static.bed, 0))         # (nb, B, mb)
     mave_p = permuted_blocks(static.mave, 1)          # (nblocks, T, B)
     msig_p = permuted_blocks(static.msig, 1)
     grp_p = permuted_blocks(static.group_of, 0)       # (nblocks, B)
@@ -185,10 +191,19 @@ def marker_sweep(
             eps, beta_new_p, comp_new_p, acum_new_p, cass_local,
             perm, m_pad, T)
 
+    mb_pad = static.bed.shape[1]
+
     def block_body(carry, xs):
         eps, cass = carry
-        (bed_blk, mave_blk, msig_blk, grp_blk, valid_blk,
-         beta_old, comp_old, acum_old, u_blk, z_blk) = xs
+        if stream_bed:
+            (bidx, win_blk, mave_blk, msig_blk, grp_blk, valid_blk,
+             beta_old, comp_old, acum_old, u_blk, z_blk) = xs
+            blk = jax.lax.dynamic_slice(
+                static.bed, (bidx * B, 0), (B, mb_pad))
+            bed_blk = jnp.take(blk, win_blk, axis=0)
+        else:
+            (bed_blk, mave_blk, msig_blk, grp_blk, valid_blk,
+             beta_old, comp_old, acum_old, u_blk, z_blk) = xs
 
         c, gs = gram_scaled_fn(bed_blk, eps, mave_blk, msig_blk, dtype)
 
@@ -210,10 +225,14 @@ def marker_sweep(
     cass0 = jnp.zeros((T,) + static.cva.shape, jnp.int32)
     if axis_name is not None:
         cass0 = jax.lax.pcast(cass0, (axis_name,), to='varying')
+    if stream_bed:
+        xs = (block_perm[0], block_perm[1], mave_p, msig_p, grp_p, valid_p,
+              beta_old_p, comp_old_p, acum_old_p, u_all, z_all)
+    else:
+        xs = (bed_p, mave_p, msig_p, grp_p, valid_p,
+              beta_old_p, comp_old_p, acum_old_p, u_all, z_all)
     (eps, cass_local), (beta_new_p, comp_new_p, acum_new_p) = jax.lax.scan(
-        block_body, (eps, cass0),
-        (bed_p, mave_p, msig_p, grp_p, valid_p,
-         beta_old_p, comp_old_p, acum_old_p, u_all, z_all),
+        block_body, (eps, cass0), xs,
     )
 
     return _finish_sweep(
@@ -294,17 +313,15 @@ def gibbs_iteration(
     #     per-rank midx), so (b) is at least as random as the reference's
     #     own multi-rank semantics; the wave relaxation's within-wave
     #     pairings re-randomize every iteration under both schemes.
+    # NOTE: deliberately independent of megakernel on/off so that a
+    # force-disabled composed run shuffles identically to the mega run it
+    # is A/B'd against (bench_mega.py / test_sweep_kernel.py).  The
+    # composed fallback consumes the same scheme by dynamic-slicing
+    # natural blocks (no whole-bed copy — at UKB scale the former
+    # physical permute doubled HBM and OOM'd).
     block_mode = (use_pallas and pallas_gram and axis_name is None
                   and dtype == jnp.float32 and wave_size > 1
-                  and B % wave_size == 0
-                  and static.gram_cache is not None)
-    if block_mode:
-        from gmrm_tpu.ops.sweep_kernel import vmem_fits
-        # NOTE: deliberately independent of megakernel=False so that a
-        # force-disabled composed run shuffles identically to the mega run
-        # it is A/B'd against (bench_mega.py / test_sweep_kernel.py).
-        block_mode = bool(megakernel) or vmem_fits(
-            T, B, static.bed.shape[1])
+                  and B % wave_size == 0)
     pi_b = win = None
     if shuffle and not block_mode:
         r = jr.uniform(k_perm, (m_pad,))
