@@ -111,10 +111,13 @@ def _decode_tile(bed_u8, mask):
     a_planes, b_planes = [], []
     for k in range(4):
         ck = (c >> (2 * k)) & 3
-        bk = (ck != 1) & mask
-        ak = jnp.where(bk, 2 - ((ck + 1) >> 1), 0)
+        bk = ((ck != 1) & mask).astype(jnp.int32)
+        # a = ((4-ck)>>1)*b maps 00->2, 01->0, 10->1, 11->0 in 3 VPU ops
+        # (vs the 2-op compare + select chain) — the decode runs twice per
+        # block in the hot sweep and is VPU-bound.
+        ak = ((4 - ck) >> 1) * bk
         a_planes.append(ak)
-        b_planes.append(bk.astype(jnp.int32))
+        b_planes.append(bk)
     a = jnp.concatenate(a_planes, axis=1).astype(_BF16)
     b = jnp.concatenate(b_planes, axis=1).astype(_BF16)
     return a, b
