@@ -56,8 +56,7 @@ FORCE_INTERPRET = False
 
 def _wave_kernel(
     base_ref,        # (T, B) f32
-    lcd_ref,         # (T, B*K*K) f32: lc[k2] - lc[i], j-major (k2,i)-minor
-    rdd_ref,         # (T, B*K*K) f32: rd[k2] - rd[i], same layout
+    lc_ref,          # (K, T, B) f32: q-independent logl coefficients
     rd_ref,          # (K, T, B) f32
     sqb_ref,         # (K, T, B) f32
     gs_ref,          # (T*B, B) f32 scaled Gram, wave-stacked rows:
@@ -77,21 +76,12 @@ def _wave_kernel(
 ):
     T, B = base_ref.shape
     K = n_mix
-    KK = K * K
     W = wave
     assert B % W == 0
     nwaves = B // W
 
     i2se = i2se_ref[:, :]                                    # (T, 1)
     corr_ref[:, :] = jnp.zeros((T, B), jnp.float32)
-
-    # Guard applies to pairs with k2 >= i (bayes.cpp:435-477 walks forward).
-    # Lane layout inside a wave segment is (k2, i)-major, j-minor
-    # (lane = (k2*K + i)*W + j), so every downstream consumer is a STATIC
-    # lane slice — Mosaic cannot shape-cast the minor dims.
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, W * KK), 1)
-    kge = (lane // (K * W)) >= ((lane // W) % K)             # (1, W*KK)
-    KW = K * W
 
     # Block-diagonal selector for the one-dot correction fold:
     # diag_mask[t, r*W + j] = (r == t).
@@ -103,7 +93,6 @@ def _wave_kernel(
 
     for w in range(nwaves):
         s = slice(w * W, (w + 1) * W)
-        s16 = slice(w * W * KK, (w + 1) * W * KK)
         live = live_ref[:, s] != 0                           # (T, W)
         zerob = zerob_ref[:, s] != 0
         beta_old = beta_old_ref[:, s]
@@ -111,25 +100,35 @@ def _wave_kernel(
         num = base_ref[:, s] + corr_ref[:, s]                # (T, W)
         q = num * num * i2se                                 # (T, W)
 
-        # ALL pairwise logl differences in one shot:
-        # d[(k2, i, j)] = lcd + q_j * rdd.
-        qr = pltpu.repeat(q, KK, axis=1)                     # (T, KK*W) tiled
-        d = lcd_ref[:, s16] + qr * rdd_ref[:, s16]           # (T, W*KK)
-        e = jnp.exp(d)
-        over = (jnp.abs(d) > 700.0) & kge
-
-        # Reduce over k2 (the leading KW-sized groups): static lane slices.
-        esum = None
-        guard = None
-        for k2 in range(K):
-            seg = slice(k2 * KW, (k2 + 1) * KW)
-            esum = e[:, seg] if esum is None else esum + e[:, seg]
-            guard = over[:, seg] if guard is None else guard | over[:, seg]
-        sarr = jnp.where(guard, 0.0, 1.0 / esum)             # (T, K*W) i-major
+        # logl is affine in q per component: L_k = lc_k + q*rd_k
+        # (bayes.cpp:425-433).  The reference's per-pair CDF terms
+        # 1/sum_k2 exp(L_k2 - L_i) collapse to E_i/S with
+        # E_k = exp(L_k - Lmax), S = sum E_k — K exps instead of K^2
+        # pair tables, no overflow (E_k <= 1).  The |dlogl| > 700 guard
+        # over pairs k2 >= i (bayes.cpp:435-477) becomes a suffix
+        # max/min test.
+        L = [lc_ref[k][:, s] + q * rd_ref[k][:, s] for k in range(K)]
+        lmax = L[0]
+        for k in range(1, K):
+            lmax = jnp.maximum(lmax, L[k])
+        e = [jnp.exp(L[k] - lmax) for k in range(K)]
+        ssum = e[0]
+        for k in range(1, K):
+            ssum = ssum + e[k]
+        sufmax = [None] * K
+        sufmin = [None] * K
+        sufmax[K - 1] = L[K - 1]
+        sufmin[K - 1] = L[K - 1]
+        for i in range(K - 2, -1, -1):
+            sufmax[i] = jnp.maximum(L[i], sufmax[i + 1])
+            sufmin[i] = jnp.minimum(L[i], sufmin[i + 1])
+        inv_s = 1.0 / ssum
         cdf = []                                             # running sum
         prev = None
         for i in range(K):
-            si = sarr[:, i * W:(i + 1) * W]                  # (T, W)
+            over = ((sufmax[i] - L[i] > 700.0)
+                    | (L[i] - sufmin[i] > 700.0))
+            si = jnp.where(over, 0.0, e[i] * inv_s)          # (T, W)
             prev = si if prev is None else prev + si
             cdf.append(prev)
 
@@ -179,7 +178,7 @@ def _build_call(T, B, K, W, interpret, vma=None):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 14,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 13,
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
         scratch_shapes=[pltpu.VMEM((T, B), jnp.float32)],
     )
@@ -233,18 +232,7 @@ def make_block_scan_wave(wave: int):
             * cva_b[None] + 1.0)
         lc = logpi.at[:, :, 1:].add(tail_c)
 
-        # Pairwise tables for the in-kernel vectorized CDF walk, laid out
-        # per wave segment as (k2, i)-major / j-minor lanes (matches the
-        # kernel's static-slice reductions and pltpu.repeat broadcast).
         nw = B // wave
-
-        def pair_layout(x4):                                   # (T,B,K,K)
-            x5 = x4.reshape(T, nw, wave, K, K)
-            return jnp.transpose(x5, (0, 1, 3, 4, 2)).reshape(T, B * K * K)
-
-        lcd = pair_layout(lc[:, :, :, None] - lc[:, :, None, :])
-        rdd = pair_layout(rd[:, :, :, None] - rd[:, :, None, :])
-
         base = c + beta_old_f * (nonas_f - 1.0)                # (T, B)
         validb = valid[None, :]                                # (1, B)
         live = (validb & (~adav)).astype(jnp.int32)            # (T, B)
@@ -260,8 +248,9 @@ def make_block_scan_wave(wave: int):
                            out_vma(axis_name))
         outs = call(*shard_varying(
             axis_name,
-            base, lcd, rdd,
-            jnp.transpose(rd, (2, 0, 1)),                      # (K, T, B)
+            base,
+            jnp.transpose(lc, (2, 0, 1)),                      # (K, T, B)
+            jnp.transpose(rd, (2, 0, 1)),
             jnp.transpose(sqb, (2, 0, 1)),
             gs_ws,                                             # (T*B, B)
             beta_old_f, comp_old.astype(jnp.int32),

@@ -54,6 +54,11 @@ _F32 = jnp.float32
 # Test hook: force interpret-mode execution (CPU test suites).
 FORCE_INTERPRET = False
 
+# Profiling hook (benchmarking/profile_mega.py): phase names to null out,
+# any of {"cab", "gramperm", "scan", "update"}.  NOT for production — the
+# outputs are wrong when any phase is skipped.
+DEBUG_SKIP = frozenset()
+
 
 def vmem_fits(n_traits: int, block_size: int, mb_pad: int,
               budget_bytes: int = 14 * 1024 * 1024) -> bool:
@@ -88,8 +93,7 @@ def _sweep_kernel(
     u_ref, z_ref,    # (1, T, B) f32
     live_ref,        # (1, T, B) i32
     zerob_ref,       # (1, T, B) i32
-    lcd_ref,         # (1, T, B*K*K) f32
-    rdd_ref,         # (1, T, B*K*K) f32
+    lc_ref,          # (1, K, T, B) f32
     rd_ref,          # (1, K, T, B) f32
     sqb_ref,         # (1, K, T, B) f32
     i2se_ref,        # (T, 1) f32           [grid-constant]
@@ -109,6 +113,7 @@ def _sweep_kernel(
     corr_s,          # (T, B) f32
     dbeta_s,         # (T, B) f32
     *, n_mix: int, n_traits: int, wave: int, shared_na: bool,
+    skip=frozenset(),
 ):
     b = pl.program_id(0)
     nb = pl.num_programs(0)
@@ -116,7 +121,6 @@ def _sweep_kernel(
     B = bed_ref.shape[0]
     mb_pad = bed_ref.shape[1]
     K = n_mix
-    KK = K * K
     W = wave
     TW = T * W
     nwaves = B // W
@@ -136,11 +140,14 @@ def _sweep_kernel(
     # from this in-VMEM permute.
     perm_mat = (jax.lax.broadcasted_iota(jnp.int32, (B, B), 1)
                 == jnp.transpose(win_ref[0])).astype(_BF16)
-    bedp_s[...] = jax.lax.dot_general(
-        perm_mat,
-        bed_ref[...].astype(jnp.int32).astype(_BF16),  # u8->bf16 via i32
-        (((1,), (0,)), ((), ())),                      # (Mosaic cast rule)
-        preferred_element_type=_F32).astype(_BF16)
+    if "bedp" in skip:
+        bedp_s[...] = bed_ref[...].astype(jnp.int32).astype(_BF16)
+    else:
+        bedp_s[...] = jax.lax.dot_general(
+            perm_mat,
+            bed_ref[...].astype(jnp.int32).astype(_BF16),  # u8->bf16 (i32
+            (((1,), (0,)), ((), ())),                      # Mosaic cast)
+            preferred_element_type=_F32).astype(_BF16)
 
     # ---- phase 1: fused decode + x^T.eps over lane tiles ----------------
     # The Gram itself is NOT recomputed: block membership is fixed under
@@ -166,7 +173,8 @@ def _sweep_kernel(
             preferred_element_type=_F32)
         return 0
 
-    jax.lax.fori_loop(0, ntiles, cab_tile, 0)
+    if "cab" not in skip:
+        jax.lax.fori_loop(0, ntiles, cab_tile, 0)
 
     # Permute the cached natural-order Gram to processing order:
     # G_perm = P2 G P2^T with P2 = blockdiag(P, P) one-hot.  MXU f32 dots
@@ -177,10 +185,13 @@ def _sweep_kernel(
     # digit exactly, and recombine in f32 — bit-identical to having
     # accumulated the Gram from permuted rows.
     NT = gfull_s.shape[0]
+    if "gramperm" in skip:
+        for t in range(NT):
+            gfull_s[t] = gfull_ref[0, t]
     win2 = jnp.concatenate([win_ref[0], win_ref[0] + B], axis=1)  # (1, 2B)
     p2 = (jax.lax.broadcasted_iota(jnp.int32, (2 * B, 2 * B), 1)
           == jnp.transpose(win2)).astype(_BF16)
-    for t in range(NT):
+    for t in ([] if "gramperm" in skip else range(NT)):
         gf = gfull_ref[0, t]
         d2 = jnp.floor(gf * (1.0 / 65536.0))
         r = gf - d2 * 65536.0
@@ -217,6 +228,8 @@ def _sweep_kernel(
         sr = msig[t:t + 1, :]
         sc = jnp.transpose(sr)
         gst = (sc * sr) * (g1 - mr * g2t - mc * g2 + (mc * mr) * g3)
+        if "gslayout" in skip:
+            continue
         for w in range(nwaves):
             gs_s[w * TW + t * W:w * TW + (t + 1) * W, :] = \
                 gst[w * W:(w + 1) * W, :]
@@ -224,38 +237,44 @@ def _sweep_kernel(
     # ---- phase 2: wave scan (ops/scan_kernel_wave.py math) --------------
     i2se = i2se_ref[...]                                  # (T, 1)
     corr_s[...] = jnp.zeros((T, B), _F32)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, W * KK), 1)
-    kge = (lane // (K * W)) >= ((lane // W) % K)
     diag_mask = (
         jax.lax.broadcasted_iota(jnp.int32, (T, TW), 1) // W
         == jax.lax.broadcasted_iota(jnp.int32, (T, TW), 0)
     )
 
-    for w in range(nwaves):
+    for w in ([] if "scan" in skip else range(nwaves)):
         s = slice(w * W, (w + 1) * W)
-        s16 = slice(w * W * KK, (w + 1) * W * KK)
         live = live_ref[0][:, s] != 0
         zerob = zerob_ref[0][:, s] != 0
         beta_old = beta_old_ref[0][:, s]
 
         num = base[:, s] + corr_s[:, s]
         q = num * num * i2se
-        qr = pltpu.repeat(q, KK, axis=1)
-        d = lcd_ref[0][:, s16] + qr * rdd_ref[0][:, s16]
-        e = jnp.exp(d)
-        over = (jnp.abs(d) > 700.0) & kge
-
-        esum = None
-        guard = None
-        for k2 in range(K):
-            seg = slice(k2 * K * W, (k2 + 1) * K * W)
-            esum = e[:, seg] if esum is None else esum + e[:, seg]
-            guard = over[:, seg] if guard is None else guard | over[:, seg]
-        sarr = jnp.where(guard, 0.0, 1.0 / esum)          # (T, K*W)
+        # E/S formulation (see ops/scan_kernel_wave.py): L_k = lc_k +
+        # q*rd_k; sarr_i = E_i/S with E_k = exp(L_k - Lmax); the 700
+        # pair guard becomes a suffix max/min test.
+        L = [lc_ref[0, k][:, s] + q * rd_ref[0, k][:, s] for k in range(K)]
+        lmax = L[0]
+        for k in range(1, K):
+            lmax = jnp.maximum(lmax, L[k])
+        e = [jnp.exp(L[k] - lmax) for k in range(K)]
+        ssum = e[0]
+        for k in range(1, K):
+            ssum = ssum + e[k]
+        sufmax = [None] * K
+        sufmin = [None] * K
+        sufmax[K - 1] = L[K - 1]
+        sufmin[K - 1] = L[K - 1]
+        for i in range(K - 2, -1, -1):
+            sufmax[i] = jnp.maximum(L[i], sufmax[i + 1])
+            sufmin[i] = jnp.minimum(L[i], sufmin[i + 1])
+        inv_s = 1.0 / ssum
         cdf = []
         prev = None
         for i in range(K):
-            si = sarr[:, i * W:(i + 1) * W]
+            over = ((sufmax[i] - L[i] > 700.0)
+                    | (L[i] - sufmin[i] > 700.0))
+            si = jnp.where(over, 0.0, e[i] * inv_s)
             prev = si if prev is None else prev + si
             cdf.append(prev)
 
@@ -293,6 +312,13 @@ def _sweep_kernel(
                 m_blk, G, (((1,), (0,)), ((), ())),
                 preferred_element_type=_F32)
 
+    if "scan" in skip:
+        dbeta_s[...] = jnp.zeros(dbeta_s.shape, _F32)
+        dbeta_ref[...] = jnp.zeros(dbeta_ref.shape, _F32)
+        beta_new_ref[...] = beta_old_ref[...]
+        comp_new_ref[...] = comp_old_ref[...]
+        acum_new_ref[...] = acum_old_ref[...]
+
     # ---- phase 3: fused decode + residual update ------------------------
     dscaled = msig * dbeta_s[...]                         # (T, B)
     lhs = jnp.concatenate([dscaled, -(mave * dscaled)], axis=1)  # (T, 2B)
@@ -319,7 +345,8 @@ def _sweep_kernel(
                 deps[:, k * TN:(k + 1) * TN] * na_k
         return 0
 
-    jax.lax.fori_loop(0, ntiles, upd_tile, 0)
+    if "update" not in skip:
+        jax.lax.fori_loop(0, ntiles, upd_tile, 0)
 
     @pl.when(b == nb - 1)
     def _():
@@ -327,11 +354,11 @@ def _sweep_kernel(
 
 
 @functools.lru_cache(maxsize=None)
-def _build_sweep_call(nblocks, B, mb_pad, T, K, W, shared_na, interpret):
+def _build_sweep_call(nblocks, B, mb_pad, T, K, W, shared_na, interpret,
+                      skip=frozenset()):
     NT = 1 if shared_na else T
-    KK = K * K
     kern = functools.partial(_sweep_kernel, n_mix=K, n_traits=T, wave=W,
-                             shared_na=shared_na)
+                             shared_na=shared_na, skip=skip)
     in_specs = [
         # bed stays in natural order in HBM; processing step b DMAs
         # natural block blkidx[b] (the scalar-prefetched block order).
@@ -350,8 +377,7 @@ def _build_sweep_call(nblocks, B, mb_pad, T, K, W, shared_na, interpret):
         pl.BlockSpec((1, T, B), lambda b, blk: (b, 0, 0)),         # z
         pl.BlockSpec((1, T, B), lambda b, blk: (b, 0, 0)),         # live
         pl.BlockSpec((1, T, B), lambda b, blk: (b, 0, 0)),         # zerob
-        pl.BlockSpec((1, T, B * KK), lambda b, blk: (b, 0, 0)),    # lcd
-        pl.BlockSpec((1, T, B * KK), lambda b, blk: (b, 0, 0)),    # rdd
+        pl.BlockSpec((1, K, T, B), lambda b, blk: (b, 0, 0, 0)),   # lc
         pl.BlockSpec((1, K, T, B), lambda b, blk: (b, 0, 0, 0)),   # rd
         pl.BlockSpec((1, K, T, B), lambda b, blk: (b, 0, 0, 0)),   # sqb
         pl.BlockSpec((T, 1), lambda b, blk: (0, 0)),               # i2se
@@ -393,7 +419,7 @@ def _build_sweep_call(nblocks, B, mb_pad, T, K, W, shared_na, interpret):
 def sweep_blocks_pallas(
     bed, blkidx, win_p, gram_cache, eps0, na, mave_p, msig_p,
     beta_old_p, comp_old_p, acum_old_p, u_p, z_p, live_p, zerob_p,
-    lcd_p, rdd_p, rd_p, sqb_p, i2se, nonas_col,
+    lc_p, rd_p, sqb_p, i2se, nonas_col,
     *, wave: int, shared_na: bool, interpret: bool = False,
 ):
     """Run the whole-sweep mega-kernel.
@@ -410,9 +436,14 @@ def sweep_blocks_pallas(
     mb_pad = bed.shape[1]
     assert mb_pad % _LANES == 0, "pad packed columns to the lane tile"
     assert bed.shape[0] == nblocks * B
+    if "call" in DEBUG_SKIP:
+        # Profiling: XLA-glue-only floor — the kernel is not launched.
+        z = jnp.zeros((nblocks, T, B), _F32)
+        return (eps0.astype(_F32), z, z, z.astype(jnp.int32), z)
     call = _build_sweep_call(nblocks, B, mb_pad, T, K, wave,
                              bool(shared_na),
-                             resolve_interpret(interpret or FORCE_INTERPRET))
+                             resolve_interpret(interpret or FORCE_INTERPRET),
+                             DEBUG_SKIP)
     na_in = na[:1] if shared_na else na
     return call(
         blkidx.astype(jnp.int32),
@@ -423,8 +454,7 @@ def sweep_blocks_pallas(
         beta_old_p.astype(_F32), comp_old_p.astype(jnp.int32),
         acum_old_p.astype(_F32), u_p.astype(_F32), z_p.astype(_F32),
         live_p.astype(jnp.int32), zerob_p.astype(jnp.int32),
-        lcd_p.astype(_F32), rdd_p.astype(_F32),
-        rd_p.astype(_F32), sqb_p.astype(_F32),
+        lc_p.astype(_F32), rd_p.astype(_F32), sqb_p.astype(_F32),
         i2se.astype(_F32), nonas_col.astype(_F32),
     )
 
@@ -462,19 +492,10 @@ def build_sweep_prep(grp_flat, valid_flat, sigmag, sigmae, pi_est,
         sigg_e[:, :, None] * (nonas_f[:, :, None] - 1.0) * cva_b[None] + 1.0)
     lc = logpi.at[:, :, 1:].add(tail)
 
-    nw = B // wave
-
-    def pair_layout(x4):   # (T, m_pad, K, K) -> (nblocks, T, B*K*K)
-        x = x4.reshape(T, nblocks, nw, wave, K, K)
-        x = jnp.transpose(x, (1, 0, 2, 4, 5, 3))
-        return x.reshape(nblocks, T, B * K * K)
-
-    lcd_p = pair_layout(lc[:, :, :, None] - lc[:, :, None, :])
-    rdd_p = pair_layout(rd[:, :, :, None] - rd[:, :, None, :])
-
     def per_block_ktb(x3):  # (T, m_pad, K) -> (nblocks, K, T, B)
         return jnp.transpose(x3.reshape(T, nblocks, B, K), (1, 3, 0, 2))
 
+    lc_p = per_block_ktb(lc)
     rd_p = per_block_ktb(rd)
     sqb_p = per_block_ktb(sqb)
 
@@ -485,7 +506,7 @@ def build_sweep_prep(grp_flat, valid_flat, sigmag, sigmae, pi_est,
     def per_block_tb(x2):   # (T, m_pad) -> (nblocks, T, B)
         return jnp.moveaxis(x2.reshape(T, nblocks, B), 1, 0)
 
-    return (lcd_p, rdd_p, rd_p, sqb_p,
+    return (lc_p, rd_p, sqb_p,
             per_block_tb(live), per_block_tb(zerob))
 
 

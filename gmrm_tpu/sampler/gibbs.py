@@ -168,7 +168,7 @@ def marker_sweep(
 
     if mega:
         G, K = static.cva.shape
-        lcd_p, rdd_p, rd_p, sqb_p, live_p, zerob_p = build_sweep_prep(
+        lc_p, rd_p, sqb_p, live_p, zerob_p = build_sweep_prep(
             grp_p.reshape(m_pad), valid_p.reshape(m_pad),
             sigmag, sigmae, pi_est, static.cva, static.cvai,
             nonas, n_total, nblocks, B, wave_size)
@@ -180,7 +180,7 @@ def marker_sweep(
                 static.gram_cache, eps, na,
                 mave_p, msig_p, beta_old_p, comp_old_p, acum_old_p,
                 u_all, z_all, live_p, zerob_p,
-                lcd_p, rdd_p, rd_p, sqb_p, i2se, nonas_col,
+                lc_p, rd_p, sqb_p, i2se, nonas_col,
                 wave=wave_size, shared_na=shared_na)
         eps = eps_out.astype(dtype)
         onehot_k = jax.nn.one_hot(comp_new_p, K, dtype=jnp.int32)
