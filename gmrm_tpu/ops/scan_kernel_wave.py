@@ -23,13 +23,13 @@ Why it is fast:
   is (T, W) one-VREG ops with traits on sublanes / markers on lanes, and
   the correction is one tiny MXU dot per trait), so the scan cost drops
   ~W-fold vs the serial kernel.
-- The K*K pairwise log-likelihood differences of the reference's CDF walk
-  (``bayes.cpp:435-477``) are *affine in q = num^2/(2 sigmaE)*:
-  logl_k - logl_i = (lc_k - lc_i) + q * (rd_k - rd_i).  The pair tables
-  (lcd, rdd) are precomputed outside the kernel, laid out j-major /
-  (k,i)-minor, so each wave evaluates ALL K^2 exponentials as ONE packed
-  (T, W*K*K) vector exp instead of K^2 sequential (T, W) exps — the
-  serial-latency chain per wave shrinks by ~an order of magnitude.
+- The reference's CDF walk (``bayes.cpp:435-477``) evaluates K*K
+  pairwise terms 1/sum_k2 exp(logl_k2 - logl_i).  logl is *affine in
+  q = num^2/(2 sigmaE)*: logl_k = lc_k + q*rd_k — so the walk collapses
+  to sarr_i = E_i / S with E_k = exp(L_k - Lmax), S = sum_k E_k: K
+  overflow-free exponentials per wave, K-sized precomputed tables (no
+  K^2 pair prep — that prep was HALF the iteration, PROFILE.md), and the
+  |dlogl| > 700 guard over pairs k2 >= i becomes a suffix max/min test.
 
 Layout: trait axis T on sublanes, marker axis B on lanes.  Waves are
 STATIC lane slices (dynamic lane slicing is illegal on TPU); the scaled
