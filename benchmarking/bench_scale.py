@@ -49,7 +49,7 @@ def main():
     ap.add_argument("--m", type=int, required=True)
     ap.add_argument("--traits", type=int, default=4)
     ap.add_argument("--block", type=int, default=128)
-    ap.add_argument("--wave", type=int, default=16)
+    ap.add_argument("--wave", type=int, default=32)
     ap.add_argument("--burn", type=int, default=30)
     ap.add_argument("--meas", type=int, default=10)
     ap.add_argument("--repeats", type=int, default=3)
