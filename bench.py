@@ -20,6 +20,14 @@ built ONCE; the steady state is the best of REPEATS timed batches of
 MEAS_ITERS back-to-back iterations, each bracketed by block_until_ready.
 (An earlier delta-of-two-process-runs scheme was noise-dominated by
 per-process tracing/compile-cache variance and could even go negative.)
+
+MEAS_ITERS is deep (100) because this device sits behind a ~25-30 ms
+dispatch tunnel: a 10-iteration batch measures ~3 ms/iter of tunnel
+latency on top of ~3.8 ms of device time (measured sweep: 6.75/5.25/
+4.34/3.88/3.75 ms per iter at batches 10/20/50/100/200).  Production
+chains dispatch thousands of iterations between thin writes exactly like
+this loop (runner.py dispatches back-to-back without per-iteration
+syncs), so the deep batch reflects real steady-state throughput.
 """
 
 import json
@@ -34,7 +42,7 @@ import numpy as np
 
 
 N, MT, TRAITS = 10_000, 20_000, 4
-WARM_ITERS, MEAS_ITERS, REPEATS = 3, 20, 5
+WARM_ITERS, MEAS_ITERS, REPEATS = 3, 100, 3
 ORACLE_MARKERS = 600  # truncated serial-oracle run, extrapolated
 
 

@@ -51,7 +51,7 @@ def main():
     ap.add_argument("--block", type=int, default=128)
     ap.add_argument("--wave", type=int, default=32)
     ap.add_argument("--burn", type=int, default=30)
-    ap.add_argument("--meas", type=int, default=10)
+    ap.add_argument("--meas", type=int, default=50)
     ap.add_argument("--repeats", type=int, default=3)
     args = ap.parse_args()
 
