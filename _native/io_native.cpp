@@ -136,6 +136,12 @@ long long gmrm_parse_phen(const char* path, long long n_max,
             char* conv_end = nullptr;
             values[n] = ::strtod(val, &conv_end);
             if (conv_end == val) return -3;
+            // The whole token must convert (strtod prefix-parses "1.5x");
+            // the numpy fallback rejects such lines and the two paths
+            // must agree byte-for-byte on what is malformed.
+            if (conv_end < end && *conv_end != ' ' && *conv_end != '\t' &&
+                *conv_end != '\r' && *conv_end != '\n' && *conv_end != '\0')
+                return -3;
             isna[n] = 0;
         }
         ++n;

@@ -45,12 +45,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bim-file", default="")
     p.add_argument("--ref-bim-file", default="")
     # TPU-native knobs
-    p.add_argument("--block-size", type=int, default=256,
-                   help="markers per Gram block (residual sync cadence)")
-    p.add_argument("--wave-size", type=int, default=1,
+    p.add_argument("--block-size", type=int, default=128,
+                   help="markers per Gram block (residual sync cadence); "
+                        "128 is the validated production configuration")
+    p.add_argument("--wave-size", type=int, default=None,
                    help="markers per serial step within a block (1 = exact "
                         "serial recursion; W>1 relaxes like W co-scheduled "
-                        "shards — the reference's own multi-rank semantics)")
+                        "shards — the reference's own multi-rank semantics). "
+                        "Default: auto — the validated production wave (32) "
+                        "on device, 1 on CPU backends")
     p.add_argument("--dtype", default="float32",
                    choices=["float32", "float64"])
     p.add_argument("--devices", type=int, default=0,

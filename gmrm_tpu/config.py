@@ -42,11 +42,14 @@ class Options:
     predict: bool = False
 
     # TPU-native knobs (no reference analog)
-    block_size: int = 256           # markers per Gram block (sync cadence)
-    wave_size: int = 1              # markers per serial step within a block
+    block_size: int = 128           # markers per Gram block (sync cadence)
+    wave_size: Optional[int] = None  # markers per serial step within a block
                                     # (1 = exact serial; W>1 = the same
                                     # relaxation as W co-scheduled shards,
-                                    # see ops/scan_kernel_wave.py)
+                                    # see ops/scan_kernel_wave.py).  None =
+                                    # auto: the validated production wave
+                                    # (32, EQUIVALENCE.md) when Pallas is
+                                    # on and divides block_size, else 1.
     dtype: str = "float32"          # compute dtype for residual/accumulations
     use_pallas: Optional[bool] = None  # None = auto (TPU yes, CPU no)
     n_devices: int = 0              # 0 = all visible devices
@@ -101,6 +104,33 @@ class Options:
             raise OptionsError("option --output-thin-rate has to be a strictly positive integer!")
         if self.block_size < 1:
             raise OptionsError("option --block-size has to be a strictly positive integer!")
+
+    def verbosity_level(self, level: int) -> bool:
+        """True when detail prints at ``level`` are enabled — the
+        reference's Options::verbosity_level (options.hpp:28)."""
+        return level <= self.verbosity
+
+    def resolve_compute_plan(self) -> None:
+        """Resolve the auto (None) TPU knobs against the active backend.
+
+        The validated production configuration (block 128 / wave 32,
+        benchmarking/EQUIVALENCE.md + PROFILE.md) is the default on
+        device; wave auto-downgrades to the exact-serial recursion (1)
+        on CPU backends, when Pallas is off, or when the requested wave
+        does not divide the block size.  Idempotent.
+        """
+        if self.use_pallas is None:
+            import jax
+            self.use_pallas = jax.default_backend() not in ("cpu",)
+        if self.wave_size is None:
+            self.wave_size = 1
+            if self.use_pallas:
+                for w in (32, 16, 8):
+                    if self.block_size % w == 0:
+                        self.wave_size = w
+                        break
+        if not self.use_pallas or self.block_size % self.wave_size != 0:
+            self.wave_size = 1
 
     def load_group_mixtures(self) -> None:
         """Parse the .grm group-mixture file into cva/cvai.

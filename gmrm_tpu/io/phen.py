@@ -57,7 +57,15 @@ class Phenotype:
 def read_phen(filepath: str, n_expected: int | None = None) -> Phenotype:
     vals_list = []
     from gmrm_tpu.io.native import native_parse_phen
-    parsed = native_parse_phen(filepath, n_expected or (1 << 24)) if n_expected else None
+    parsed = None
+    if n_expected:
+        try:
+            parsed = native_parse_phen(filepath, n_expected or (1 << 24))
+        except IOError:
+            # Malformed line: re-parse on the numpy path so the error
+            # (and any lenient acceptance) is byte-identical whether or
+            # not the native library is built.
+            parsed = None
     if parsed is not None:
         raw, isna = parsed
         values = np.where(isna, np.nan, raw)
@@ -72,7 +80,16 @@ def read_phen(filepath: str, n_expected: int | None = None) -> Phenotype:
                         f"phen file {filepath}: expected 'FID IID value', got {line!r}"
                     )
                 v = toks[2]
-                vals_list.append(np.nan if v == "NA" else float(v))
+                if v == "NA":
+                    vals_list.append(np.nan)
+                else:
+                    try:
+                        vals_list.append(float(v))
+                    except ValueError:
+                        raise IOError(
+                            f"phen file {filepath}: expected numeric value "
+                            f"or NA, got {line!r}"
+                        ) from None
         values = np.asarray(vals_list, dtype=np.float64)
     mask = ~np.isnan(values)
     nonas = int(mask.sum())

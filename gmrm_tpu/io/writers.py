@@ -53,6 +53,14 @@ class HistoryWriter:
     def _rec_offset(self, rec: int) -> int:
         return 4 + rec * (4 + self.m_total * self.itemsize)
 
+    def truncate_to(self, n_rec: int) -> None:
+        """Drop records past ``n_rec`` (resume from a checkpoint older
+        than the file: stale tail rows must not survive)."""
+        size = self._rec_offset(n_rec)
+        if os.path.exists(self.path) and os.path.getsize(self.path) > size:
+            os.truncate(self.path, size)
+        self._rec = min(self._rec, n_rec)
+
     def write_record(self, iteration: int, data: np.ndarray, start: int = 0,
                      rec: int | None = None) -> None:
         """Write one thinned record (or one shard's slice of it).

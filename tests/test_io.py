@@ -151,3 +151,40 @@ def test_sim_outputs(sim_small):
     a, _ = decode_planes(codes)
     # Binomial(2, 0.4) dosages -> mean dosage near 0.8
     assert 0.6 < a.mean() < 1.0
+
+
+def test_phen_malformed_agrees_native_and_numpy(tmp_path):
+    """Malformed .phen lines must fail identically (IOError) whether the
+    native parser or the numpy fallback handles them (VERDICT r3 weak 5)."""
+    import pytest
+    from gmrm_tpu.io.phen import read_phen
+    from gmrm_tpu.io import native as nat
+
+    for i, bad in enumerate(["F1 I1\n", "F1 I1 1.5x\n", "F1 I1 abc\n"]):
+        p = tmp_path / f"bad{i}.phen"
+        p.write_text("F0 I0 1.0\n" + bad)
+        with pytest.raises(IOError):
+            read_phen(str(p), 2)
+        if nat.have_native():
+            with pytest.raises(IOError):
+                nat.native_parse_phen(str(p), 2)
+
+    ok = tmp_path / "ok.phen"
+    ok.write_text("F0 I0 1.5\nF1 I1 NA\nF2 I2 -2.0\n")
+    ph = read_phen(str(ok), 3)
+    assert ph.nas == 1 and ph.nonas == 2
+
+
+def test_history_truncate_to(tmp_path):
+    import numpy as np
+    from gmrm_tpu.io.writers import HistoryWriter, read_history
+
+    p = str(tmp_path / "x.bet")
+    w = HistoryWriter(p, 5, "f8")
+    for r in range(4):
+        w.write_record(r + 1, np.full(5, float(r)))
+    w2 = HistoryWriter.open_existing(p, 5, "f8")
+    w2.truncate_to(2)
+    iters, data = read_history(p, "f8")
+    assert list(iters) == [1, 2]
+    assert data.shape == (2, 5)
