@@ -93,15 +93,23 @@ def bench_tpu(data_dir):
     # composed-vs-mega iteration must agree bit-for-bit on device before
     # anything is timed — a Mosaic regression must fail loudly, not ship a
     # fast wrong number (benchmarking/PROFILE.md round-3 validation).
+    # gram_cache is the authoritative prerequisite (built only when the
+    # whole block-mode condition set holds — build_static); vmem_fits
+    # alone would report megakernel:true while comparing composed vs
+    # composed below.
     mega_active = False
-    if use_pallas and opt.wave_size > 1:
+    if (use_pallas and opt.wave_size > 1
+            and opt.block_size % opt.wave_size == 0
+            and static.gram_cache is not None):
         from gmrm_tpu.ops.sweep_kernel import vmem_fits
         mega_active = vmem_fits(TRAITS, opt.block_size, static.bed.shape[1])
     if mega_active:
+        # gram_cached=False: the gate's composed side must RECOMPUTE the
+        # Gram so it stays independent of the cache the mega side reads.
         gate_comp = make_gibbs_step(
             block_size=opt.block_size, use_pallas=True, donate=False,
             shared_na=shared_na, wave_size=opt.wave_size,
-            megakernel=False, pallas_upd=True)
+            megakernel=False, gram_cached=False, pallas_upd=True)
         gate_mega = make_gibbs_step(
             block_size=opt.block_size, use_pallas=True, donate=False,
             shared_na=shared_na, wave_size=opt.wave_size, megakernel=True)

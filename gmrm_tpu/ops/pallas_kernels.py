@@ -269,6 +269,83 @@ def block_gram_scaled_pallas(bed_block, eps, na, mave, msig, *,
 
 
 # --------------------------------------------------------------------------
+# Fused decode + dot-products-only kernel (Gram comes from the cache)
+# --------------------------------------------------------------------------
+
+def _cdot_kernel(bed_ref, eps_ref, mave_ref, msig_ref, c_ref, cab_ref,
+                 *, mb, tn, n_traits):
+    """The residual dot products of :func:`_gram_kernel` WITHOUT the Gram
+    (the Gram is iteration-invariant and comes from build_gram_cache on
+    this path).  Identical tile/accumulation structure so ``c`` is
+    bit-identical to the fused Gram kernel's."""
+    i = pl.program_id(0)
+    nsteps = pl.num_programs(0)
+    T = n_traits
+    B = bed_ref.shape[0]
+
+    @pl.when(i == 0)
+    def _():
+        cab_ref[...] = jnp.zeros(cab_ref.shape, _F32)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, tn), 1)
+    mask = (i * tn + lane) < mb
+    a, b = _decode_tile(bed_ref[...], mask)              # (B, 4tn) bf16
+    ab = jnp.concatenate([a, b], axis=0)                 # (2B, 4tn)
+
+    mask4 = jnp.concatenate([mask] * 4, axis=1)
+    eps_t = _flatten_planes([eps_ref[:, k, :] for k in range(4)])
+    eps_t = jnp.where(mask4, eps_t, 0.0)
+    hi = eps_t.astype(_BF16)
+    lo = (eps_t - hi.astype(_F32)).astype(_BF16)
+    rhs = jnp.concatenate([hi, lo], axis=0)              # (2T, 4tn)
+
+    cab_ref[...] += jax.lax.dot_general(
+        rhs, ab, (((1,), (1,)), ((), ())),
+        preferred_element_type=_F32)                     # (2T, 2B)
+
+    @pl.when(i == nsteps - 1)
+    def _():
+        cab = cab_ref[...]
+        csum = cab[:T] + cab[T:]
+        craw = csum[:, :B] - mave_ref[...] * csum[:, B:]
+        c_ref[...] = msig_ref[...] * craw
+
+
+@functools.lru_cache(maxsize=None)
+def _build_cdot_call(B, mb, T, interpret, vma=None):
+    tn = _pick_tn(mb)
+    grid = pl.cdiv(mb, tn)
+    kern = functools.partial(_cdot_kernel, mb=mb, tn=tn, n_traits=T)
+    return pl.pallas_call(
+        kern,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((B, tn), lambda i: (0, i)),         # bed
+            pl.BlockSpec((T, 4, tn), lambda i: (0, 0, i)),   # eps
+            pl.BlockSpec((T, B), lambda i: (0, 0)),          # mave
+            pl.BlockSpec((T, B), lambda i: (0, 0)),          # msig
+        ],
+        out_specs=pl.BlockSpec((T, B), lambda i: (0, 0)),
+        out_shape=sds((T, B), _F32, vma),
+        scratch_shapes=[pltpu.VMEM((2 * T, 2 * B), _F32)],
+        interpret=interpret,
+    )
+
+
+def block_cdot_pallas(bed_block, eps, mave, msig, *, interpret=False,
+                      axis_name=None):
+    """c (T, B) = msig * (x^T eps) for one block, fused decode; the
+    cached-Gram path's replacement for block_gram_scaled_pallas."""
+    B, mb = bed_block.shape
+    T = eps.shape[0]
+    call = _build_cdot_call(B, mb, T, resolve_interpret(interpret),
+                            out_vma(axis_name))
+    args = shard_varying(axis_name, bed_block, eps.astype(_F32),
+                         mave.astype(_F32), msig.astype(_F32))
+    return call(*args)
+
+
+# --------------------------------------------------------------------------
 # Fused decode + residual-update kernel
 # --------------------------------------------------------------------------
 

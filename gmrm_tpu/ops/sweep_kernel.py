@@ -60,6 +60,29 @@ FORCE_INTERPRET = False
 DEBUG_SKIP = frozenset()
 
 
+# Lane-tile budget for the N-tiled kernels (tests shrink it to exercise
+# multi-tile grids on small data).
+TILE_MAX_LANES = 8
+
+
+def pick_lane_tile(mb_pad: int, max_lanes: int = 0) -> int:
+    """Largest lane-tile width (bytes, multiple of _LANES, dividing
+    ``mb_pad``) not exceeding ``max_lanes * _LANES``.  Used by the
+    N-tiled kernels to stream the individuals axis through VMEM in
+    uniform grid tiles."""
+    assert mb_pad % _LANES == 0
+    max_lanes = max_lanes or TILE_MAX_LANES
+    lanes = mb_pad // _LANES
+    if lanes <= max_lanes:
+        return mb_pad
+    best = 1
+    for n in range(2, lanes + 1):
+        if lanes % n == 0 and lanes // n <= max_lanes:
+            best = lanes // n
+            break
+    return best * _LANES
+
+
 def vmem_fits(n_traits: int, block_size: int, mb_pad: int,
               budget_bytes: int = 14 * 1024 * 1024) -> bool:
     """Conservative VMEM feasibility estimate for the mega-kernel."""
@@ -72,6 +95,169 @@ def vmem_fits(n_traits: int, block_size: int, mb_pad: int,
     transients = 3 * (2 * block_size) * 4 * _LANES * 2   # a/b/ab bf16 tiles
     return (bed + bedp + gcache + planes + gram + transients
             < budget_bytes)
+
+
+def _block_scan_phase(
+    win_ref, gfull_ref, mave_ref, msig_ref,
+    beta_old_ref, comp_old_ref, acum_old_ref, u_ref, z_ref,
+    live_ref, zerob_ref, lc_ref, rd_ref, sqb_ref, i2se_ref, nonas_ref,
+    dbeta_ref, beta_new_ref, comp_new_ref, acum_new_ref,
+    gfull_s, cab_s, gs_s, corr_s, dbeta_s,
+    *, n_mix, n_traits, wave, shared_na, skip,
+):
+    """Phases shared by the resident and N-tiled mega-kernels: permute the
+    cached Gram to processing order, finalize c/base and the wave-stacked
+    scaled Gram from the accumulated ``cab_s``, then run the wave scan.
+    Extracted verbatim so both kernels stay bit-identical."""
+    T = n_traits
+    B = win_ref.shape[2]
+    K = n_mix
+    W = wave
+    TW = T * W
+    nwaves = B // W
+
+    # Permute the cached natural-order Gram to processing order:
+    # G_perm = P2 G P2^T with P2 = blockdiag(P, P) one-hot.  MXU f32 dots
+    # are NOT exact on device (bf16-multipass rounding — the on-device
+    # agreement gate caught this), but one-hot bf16 dots with f32
+    # accumulation ARE.  G entries are exact non-negative integers
+    # (< 2^24), so decompose into base-256 bf16 digits, permute each
+    # digit exactly, and recombine in f32 — bit-identical to having
+    # accumulated the Gram from permuted rows.
+    NT = gfull_s.shape[0]
+    if "gramperm" in skip:
+        for t in range(NT):
+            gfull_s[t] = gfull_ref[0, t]
+    win2 = jnp.concatenate([win_ref[0], win_ref[0] + B], axis=1)  # (1, 2B)
+    p2 = (jax.lax.broadcasted_iota(jnp.int32, (2 * B, 2 * B), 1)
+          == jnp.transpose(win2)).astype(_BF16)
+    for t in ([] if "gramperm" in skip else range(NT)):
+        gf = gfull_ref[0, t]
+        d2 = jnp.floor(gf * (1.0 / 65536.0))
+        r = gf - d2 * 65536.0
+        d1 = jnp.floor(r * (1.0 / 256.0))
+        d0 = r - d1 * 256.0
+        acc = None
+        for dk, scale in ((d2, 65536.0), (d1, 256.0), (d0, 1.0)):
+            tmp = jax.lax.dot_general(
+                p2, dk.astype(_BF16), (((1,), (0,)), ((), ())),
+                preferred_element_type=_F32)
+            res = jax.lax.dot_general(
+                tmp.astype(_BF16), p2, (((1,), (1,)), ((), ())),
+                preferred_element_type=_F32)
+            acc = res * scale if acc is None else acc + res * scale
+        gfull_s[t] = acc
+
+    # ---- finalize c, base and the wave-stacked scaled Gram --------------
+    mave = mave_ref[0]                                    # (T, B)
+    msig = msig_ref[0]
+    cab = cab_s[...]
+    csum = cab[:T] + cab[T:]                              # (T, 2B)
+    craw = csum[:, :B] - mave * csum[:, B:]
+    c = msig * craw                                       # (T, B)
+    base = c + beta_old_ref[0] * (nonas_ref[...] - 1.0)   # (T, B)
+
+    for t in range(T):
+        gf = gfull_s[0 if shared_na else t]               # (2B, 2B)
+        g1 = gf[:B, :B]
+        g2 = gf[B:, :B]
+        g2t = gf[:B, B:]
+        g3 = gf[B:, B:]
+        mr = mave[t:t + 1, :]
+        mc = jnp.transpose(mr)
+        sr = msig[t:t + 1, :]
+        sc = jnp.transpose(sr)
+        gst = (sc * sr) * (g1 - mr * g2t - mc * g2 + (mc * mr) * g3)
+        if "gslayout" in skip:
+            continue
+        for w in range(nwaves):
+            gs_s[w * TW + t * W:w * TW + (t + 1) * W, :] = \
+                gst[w * W:(w + 1) * W, :]
+
+    # ---- wave scan (ops/scan_kernel_wave.py math) -----------------------
+    i2se = i2se_ref[...]                                  # (T, 1)
+    corr_s[...] = jnp.zeros((T, B), _F32)
+    diag_mask = (
+        jax.lax.broadcasted_iota(jnp.int32, (T, TW), 1) // W
+        == jax.lax.broadcasted_iota(jnp.int32, (T, TW), 0)
+    )
+
+    for w in ([] if "scan" in skip else range(nwaves)):
+        s = slice(w * W, (w + 1) * W)
+        live = live_ref[0][:, s] != 0
+        zerob = zerob_ref[0][:, s] != 0
+        beta_old = beta_old_ref[0][:, s]
+
+        num = base[:, s] + corr_s[:, s]
+        q = num * num * i2se
+        # E/S formulation (see ops/scan_kernel_wave.py): L_k = lc_k +
+        # q*rd_k; sarr_i = E_i/S with E_k = exp(L_k - Lmax); the 700
+        # pair guard becomes a suffix max/min test.
+        L = [lc_ref[0, k][:, s] + q * rd_ref[0, k][:, s] for k in range(K)]
+        lmax = L[0]
+        for k in range(1, K):
+            lmax = jnp.maximum(lmax, L[k])
+        e = [jnp.exp(L[k] - lmax) for k in range(K)]
+        ssum = e[0]
+        for k in range(1, K):
+            ssum = ssum + e[k]
+        sufmax = [None] * K
+        sufmin = [None] * K
+        sufmax[K - 1] = L[K - 1]
+        sufmin[K - 1] = L[K - 1]
+        for i in range(K - 2, -1, -1):
+            sufmax[i] = jnp.maximum(L[i], sufmax[i + 1])
+            sufmin[i] = jnp.minimum(L[i], sufmin[i + 1])
+        inv_s = 1.0 / ssum
+        cdf = []
+        prev = None
+        for i in range(K):
+            over = ((sufmax[i] - L[i] > 700.0)
+                    | (L[i] - sufmin[i] > 700.0))
+            si = jnp.where(over, 0.0, e[i] * inv_s)
+            prev = si if prev is None else prev + si
+            cdf.append(prev)
+
+        u = u_ref[0][:, s]
+        comp = jnp.full((T, W), K - 1, jnp.int32)
+        for i in range(K - 1, -1, -1):
+            comp = jnp.where(u <= cdf[i], i, comp)
+        acum_sel = cdf[K - 1]
+        muk_sel = num * rd_ref[0][K - 1][:, s]
+        sqb_sel = sqb_ref[0][K - 1][:, s]
+        for i in range(K - 2, -1, -1):
+            is_i = comp == i
+            acum_sel = jnp.where(is_i, cdf[i], acum_sel)
+            muk_sel = jnp.where(is_i, num * rd_ref[0][i][:, s], muk_sel)
+            sqb_sel = jnp.where(is_i, sqb_ref[0][i][:, s], sqb_sel)
+
+        beta_samp = jnp.where(comp == 0, 0.0,
+                              muk_sel + sqb_sel * z_ref[0][:, s])
+        dbeta = jnp.where(live, beta_old - beta_samp, 0.0)
+
+        dbeta_s[:, s] = dbeta
+        dbeta_ref[0, :, s] = dbeta
+        beta_new_ref[0, :, s] = jnp.where(
+            live, beta_samp, jnp.where(zerob, 0.0, beta_old))
+        comp_new_ref[0, :, s] = jnp.where(live, comp, comp_old_ref[0, :, s])
+        acum_new_ref[0, :, s] = jnp.where(
+            live, acum_sel, jnp.where(zerob, 1.0, acum_old_ref[0, :, s]))
+
+        @pl.when(jnp.any(dbeta != 0.0))
+        def _():
+            G = gs_s[w * TW:(w + 1) * TW, :]              # (T*W, B)
+            m_blk = jnp.where(
+                diag_mask, pltpu.repeat(dbeta, T, axis=1), 0.0)
+            corr_s[...] = corr_s[...] + jax.lax.dot_general(
+                m_blk, G, (((1,), (0,)), ((), ())),
+                preferred_element_type=_F32)
+
+    if "scan" in skip:
+        dbeta_s[...] = jnp.zeros(dbeta_s.shape, _F32)
+        dbeta_ref[...] = jnp.zeros(dbeta_ref.shape, _F32)
+        beta_new_ref[...] = beta_old_ref[...]
+        comp_new_ref[...] = comp_old_ref[...]
+        acum_new_ref[...] = acum_old_ref[...]
 
 
 def _sweep_kernel(
@@ -176,150 +362,18 @@ def _sweep_kernel(
     if "cab" not in skip:
         jax.lax.fori_loop(0, ntiles, cab_tile, 0)
 
-    # Permute the cached natural-order Gram to processing order:
-    # G_perm = P2 G P2^T with P2 = blockdiag(P, P) one-hot.  MXU f32 dots
-    # are NOT exact on device (bf16-multipass rounding — the on-device
-    # agreement gate caught this), but one-hot bf16 dots with f32
-    # accumulation ARE.  G entries are exact non-negative integers
-    # (< 2^24), so decompose into base-256 bf16 digits, permute each
-    # digit exactly, and recombine in f32 — bit-identical to having
-    # accumulated the Gram from permuted rows.
-    NT = gfull_s.shape[0]
-    if "gramperm" in skip:
-        for t in range(NT):
-            gfull_s[t] = gfull_ref[0, t]
-    win2 = jnp.concatenate([win_ref[0], win_ref[0] + B], axis=1)  # (1, 2B)
-    p2 = (jax.lax.broadcasted_iota(jnp.int32, (2 * B, 2 * B), 1)
-          == jnp.transpose(win2)).astype(_BF16)
-    for t in ([] if "gramperm" in skip else range(NT)):
-        gf = gfull_ref[0, t]
-        d2 = jnp.floor(gf * (1.0 / 65536.0))
-        r = gf - d2 * 65536.0
-        d1 = jnp.floor(r * (1.0 / 256.0))
-        d0 = r - d1 * 256.0
-        acc = None
-        for dk, scale in ((d2, 65536.0), (d1, 256.0), (d0, 1.0)):
-            tmp = jax.lax.dot_general(
-                p2, dk.astype(_BF16), (((1,), (0,)), ((), ())),
-                preferred_element_type=_F32)
-            res = jax.lax.dot_general(
-                tmp.astype(_BF16), p2, (((1,), (1,)), ((), ())),
-                preferred_element_type=_F32)
-            acc = res * scale if acc is None else acc + res * scale
-        gfull_s[t] = acc
-
-    # ---- finalize c, base and the wave-stacked scaled Gram --------------
-    mave = mave_ref[0]                                    # (T, B)
-    msig = msig_ref[0]
-    cab = cab_s[...]
-    csum = cab[:T] + cab[T:]                              # (T, 2B)
-    craw = csum[:, :B] - mave * csum[:, B:]
-    c = msig * craw                                       # (T, B)
-    base = c + beta_old_ref[0] * (nonas_ref[...] - 1.0)   # (T, B)
-
-    for t in range(T):
-        gf = gfull_s[0 if shared_na else t]               # (2B, 2B)
-        g1 = gf[:B, :B]
-        g2 = gf[B:, :B]
-        g2t = gf[:B, B:]
-        g3 = gf[B:, B:]
-        mr = mave[t:t + 1, :]
-        mc = jnp.transpose(mr)
-        sr = msig[t:t + 1, :]
-        sc = jnp.transpose(sr)
-        gst = (sc * sr) * (g1 - mr * g2t - mc * g2 + (mc * mr) * g3)
-        if "gslayout" in skip:
-            continue
-        for w in range(nwaves):
-            gs_s[w * TW + t * W:w * TW + (t + 1) * W, :] = \
-                gst[w * W:(w + 1) * W, :]
-
-    # ---- phase 2: wave scan (ops/scan_kernel_wave.py math) --------------
-    i2se = i2se_ref[...]                                  # (T, 1)
-    corr_s[...] = jnp.zeros((T, B), _F32)
-    diag_mask = (
-        jax.lax.broadcasted_iota(jnp.int32, (T, TW), 1) // W
-        == jax.lax.broadcasted_iota(jnp.int32, (T, TW), 0)
-    )
-
-    for w in ([] if "scan" in skip else range(nwaves)):
-        s = slice(w * W, (w + 1) * W)
-        live = live_ref[0][:, s] != 0
-        zerob = zerob_ref[0][:, s] != 0
-        beta_old = beta_old_ref[0][:, s]
-
-        num = base[:, s] + corr_s[:, s]
-        q = num * num * i2se
-        # E/S formulation (see ops/scan_kernel_wave.py): L_k = lc_k +
-        # q*rd_k; sarr_i = E_i/S with E_k = exp(L_k - Lmax); the 700
-        # pair guard becomes a suffix max/min test.
-        L = [lc_ref[0, k][:, s] + q * rd_ref[0, k][:, s] for k in range(K)]
-        lmax = L[0]
-        for k in range(1, K):
-            lmax = jnp.maximum(lmax, L[k])
-        e = [jnp.exp(L[k] - lmax) for k in range(K)]
-        ssum = e[0]
-        for k in range(1, K):
-            ssum = ssum + e[k]
-        sufmax = [None] * K
-        sufmin = [None] * K
-        sufmax[K - 1] = L[K - 1]
-        sufmin[K - 1] = L[K - 1]
-        for i in range(K - 2, -1, -1):
-            sufmax[i] = jnp.maximum(L[i], sufmax[i + 1])
-            sufmin[i] = jnp.minimum(L[i], sufmin[i + 1])
-        inv_s = 1.0 / ssum
-        cdf = []
-        prev = None
-        for i in range(K):
-            over = ((sufmax[i] - L[i] > 700.0)
-                    | (L[i] - sufmin[i] > 700.0))
-            si = jnp.where(over, 0.0, e[i] * inv_s)
-            prev = si if prev is None else prev + si
-            cdf.append(prev)
-
-        u = u_ref[0][:, s]
-        comp = jnp.full((T, W), K - 1, jnp.int32)
-        for i in range(K - 1, -1, -1):
-            comp = jnp.where(u <= cdf[i], i, comp)
-        acum_sel = cdf[K - 1]
-        muk_sel = num * rd_ref[0][K - 1][:, s]
-        sqb_sel = sqb_ref[0][K - 1][:, s]
-        for i in range(K - 2, -1, -1):
-            is_i = comp == i
-            acum_sel = jnp.where(is_i, cdf[i], acum_sel)
-            muk_sel = jnp.where(is_i, num * rd_ref[0][i][:, s], muk_sel)
-            sqb_sel = jnp.where(is_i, sqb_ref[0][i][:, s], sqb_sel)
-
-        beta_samp = jnp.where(comp == 0, 0.0,
-                              muk_sel + sqb_sel * z_ref[0][:, s])
-        dbeta = jnp.where(live, beta_old - beta_samp, 0.0)
-
-        dbeta_s[:, s] = dbeta
-        dbeta_ref[0, :, s] = dbeta
-        beta_new_ref[0, :, s] = jnp.where(
-            live, beta_samp, jnp.where(zerob, 0.0, beta_old))
-        comp_new_ref[0, :, s] = jnp.where(live, comp, comp_old_ref[0, :, s])
-        acum_new_ref[0, :, s] = jnp.where(
-            live, acum_sel, jnp.where(zerob, 1.0, acum_old_ref[0, :, s]))
-
-        @pl.when(jnp.any(dbeta != 0.0))
-        def _():
-            G = gs_s[w * TW:(w + 1) * TW, :]              # (T*W, B)
-            m_blk = jnp.where(
-                diag_mask, pltpu.repeat(dbeta, T, axis=1), 0.0)
-            corr_s[...] = corr_s[...] + jax.lax.dot_general(
-                m_blk, G, (((1,), (0,)), ((), ())),
-                preferred_element_type=_F32)
-
-    if "scan" in skip:
-        dbeta_s[...] = jnp.zeros(dbeta_s.shape, _F32)
-        dbeta_ref[...] = jnp.zeros(dbeta_ref.shape, _F32)
-        beta_new_ref[...] = beta_old_ref[...]
-        comp_new_ref[...] = comp_old_ref[...]
-        acum_new_ref[...] = acum_old_ref[...]
+    # ---- phase 2: Gram permute + finalize + wave scan (shared) ----------
+    _block_scan_phase(
+        win_ref, gfull_ref, mave_ref, msig_ref,
+        beta_old_ref, comp_old_ref, acum_old_ref, u_ref, z_ref,
+        live_ref, zerob_ref, lc_ref, rd_ref, sqb_ref, i2se_ref, nonas_ref,
+        dbeta_ref, beta_new_ref, comp_new_ref, acum_new_ref,
+        gfull_s, cab_s, gs_s, corr_s, dbeta_s,
+        n_mix=K, n_traits=T, wave=W, shared_na=shared_na, skip=skip)
 
     # ---- phase 3: fused decode + residual update ------------------------
+    mave = mave_ref[0]                                    # (T, B)
+    msig = msig_ref[0]
     dscaled = msig * dbeta_s[...]                         # (T, B)
     lhs = jnp.concatenate([dscaled, -(mave * dscaled)], axis=1)  # (T, 2B)
     hi = lhs.astype(_BF16)
@@ -416,11 +470,258 @@ def _build_sweep_call(nblocks, B, mb_pad, T, K, W, shared_na, interpret,
     )
 
 
+def _sweep_kernel_tiled(
+    blkidx_ref,      # (nblocks,) i32 scalar-prefetch
+    # inputs (grid step (b, pass, j))
+    bed_ref,         # (B, TJ) u8 — lane tile j of natural block blkidx[b]
+    win_ref,         # (1, 1, B) i32
+    gfull_ref,       # (1, NT, 2B, 2B) f32
+    eps0_ref,        # (T, 4, TJ) f32 — tile j at (b=0, pass=0), parked else
+    na_ref,          # (NT, 4, TJ) f32 — tile j in pass 1, parked else
+    mave_ref,        # (1, T, B) f32
+    msig_ref,        # (1, T, B) f32
+    beta_old_ref,    # (1, T, B) f32
+    comp_old_ref,    # (1, T, B) i32
+    acum_old_ref,    # (1, T, B) f32
+    u_ref, z_ref,    # (1, T, B) f32
+    live_ref,        # (1, T, B) i32
+    zerob_ref,       # (1, T, B) i32
+    lc_ref,          # (1, K, T, B) f32
+    rd_ref,          # (1, K, T, B) f32
+    sqb_ref,         # (1, K, T, B) f32
+    i2se_ref,        # (T, 1) f32
+    nonas_ref,       # (T, 1) f32
+    # outputs
+    eps_out_ref,     # (T, 4, TJ) f32 — tile j at (b=nb-1, pass=1)
+    dbeta_ref,       # (1, T, B) f32
+    beta_new_ref,    # (1, T, B) f32
+    comp_new_ref,    # (1, T, B) i32
+    acum_new_ref,    # (1, T, B) f32
+    # scratch
+    bedp_s,          # (B, TJ) bf16: permuted tile
+    eps_s,           # (T, 4, mb_pad) f32 — whole residual, persistent
+    gfull_s,         # (NT, 2B, 2B) f32
+    cab_s,           # (2T, 2B) f32
+    gs_s,            # (T*B, B) f32
+    corr_s,          # (T, B) f32
+    dbeta_s,         # (T, B) f32
+    *, n_mix: int, n_traits: int, wave: int, shared_na: bool,
+    skip=frozenset(),
+):
+    """The whole-sweep mega-kernel with the individuals axis STREAMED:
+    grid (nblocks, 2, n_lane_tiles).  Only a (B, TJ) bed tile is VMEM
+    resident per step — the residual ``eps_s`` is the sole O(N) scratch —
+    which lifts the resident kernel's N ceiling (~64k at B=128, T=4) to
+    the UKB regime (N ~ 640k at T=4; reference loads bayes.cpp:875-879).
+
+    Per block b: pass 0 streams bed tiles accumulating the residual dot
+    products (same _LANES subtile order as the resident kernel — results
+    are bit-identical); at (pass 1, tile 0) the shared Gram-permute +
+    finalize + wave-scan phase runs; pass 1 then re-streams the bed tiles
+    applying the rank-W residual update to ``eps_s``.  The bed is read
+    twice per block (vs once resident) — the price of O(TJ) residency.
+    """
+    b = pl.program_id(0)
+    p = pl.program_id(1)
+    j = pl.program_id(2)
+    nb = pl.num_programs(0)
+    T = n_traits
+    B = bed_ref.shape[0]
+    TJ = bed_ref.shape[1]
+    K = n_mix
+    W = wave
+    TN = _LANES
+    ntiles = TJ // TN
+    off_j = j * TJ
+
+    @pl.when((b == 0) & (p == 0))
+    def _():
+        eps_s[:, :, pl.ds(off_j, TJ)] = eps0_ref[...]
+
+    # ---- within-block row shuffle of this bed tile (exact MXU one-hot) --
+    perm_mat = (jax.lax.broadcasted_iota(jnp.int32, (B, B), 1)
+                == jnp.transpose(win_ref[0])).astype(_BF16)
+    if "bedp" in skip:
+        bedp_s[...] = bed_ref[...].astype(jnp.int32).astype(_BF16)
+    else:
+        bedp_s[...] = jax.lax.dot_general(
+            perm_mat,
+            bed_ref[...].astype(jnp.int32).astype(_BF16),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=_F32).astype(_BF16)
+
+    # ---- pass 0: accumulate the residual dot products -------------------
+    @pl.when(p == 0)
+    def _():
+        @pl.when(j == 0)
+        def _():
+            cab_s[...] = jnp.zeros(cab_s.shape, _F32)
+
+        def cab_tile(i, _):
+            off = pl.multiple_of(i * TN, TN)
+            bed_t = bedp_s[:, pl.ds(off, TN)]             # (B, TN) bf16
+            full = jnp.ones((1, TN), bool)
+            a, b2 = _decode_tile(bed_t, full)
+            ab = jnp.concatenate([a, b2], axis=0)         # (2B, 4TN)
+            eps_t = jnp.concatenate(
+                [eps_s[:, k, pl.ds(off_j + off, TN)] for k in range(4)],
+                axis=1)
+            hi = eps_t.astype(_BF16)
+            lo = (eps_t - hi.astype(_F32)).astype(_BF16)
+            rhs = jnp.concatenate([hi, lo], axis=0)       # (2T, 4TN)
+            cab_s[...] += jax.lax.dot_general(
+                rhs, ab, (((1,), (1,)), ((), ())),
+                preferred_element_type=_F32)
+            return 0
+
+        if "cab" not in skip:
+            jax.lax.fori_loop(0, ntiles, cab_tile, 0)
+
+    # ---- (pass 1, tile 0): Gram permute + finalize + wave scan ----------
+    @pl.when((p == 1) & (j == 0))
+    def _():
+        _block_scan_phase(
+            win_ref, gfull_ref, mave_ref, msig_ref,
+            beta_old_ref, comp_old_ref, acum_old_ref, u_ref, z_ref,
+            live_ref, zerob_ref, lc_ref, rd_ref, sqb_ref, i2se_ref,
+            nonas_ref,
+            dbeta_ref, beta_new_ref, comp_new_ref, acum_new_ref,
+            gfull_s, cab_s, gs_s, corr_s, dbeta_s,
+            n_mix=K, n_traits=T, wave=W, shared_na=shared_na, skip=skip)
+
+    # ---- pass 1: apply the rank-W residual update to this tile ----------
+    @pl.when(p == 1)
+    def _():
+        mave = mave_ref[0]
+        msig = msig_ref[0]
+        dscaled = msig * dbeta_s[...]                     # (T, B)
+        lhs = jnp.concatenate([dscaled, -(mave * dscaled)], axis=1)
+        hi = lhs.astype(_BF16)
+        lo = (lhs - hi.astype(_F32)).astype(_BF16)
+        lhs2 = jnp.concatenate([hi, lo], axis=0)          # (2T, 2B)
+
+        def upd_tile(i, _):
+            off = pl.multiple_of(i * TN, TN)
+            bed_t = bedp_s[:, pl.ds(off, TN)]
+            full = jnp.ones((1, TN), bool)
+            a, b2 = _decode_tile(bed_t, full)
+            ab = jnp.concatenate([a, b2], axis=0)
+            out = jax.lax.dot_general(
+                lhs2, ab, (((1,), (0,)), ((), ())),
+                preferred_element_type=_F32)              # (2T, 4TN)
+            deps = out[:T] + out[T:]
+            for k in range(4):
+                if shared_na:
+                    na_k = na_ref[0, k:k + 1, pl.ds(off, TN)]
+                else:
+                    na_k = na_ref[:, k, pl.ds(off, TN)]
+                eps_s[:, k, pl.ds(off_j + off, TN)] += \
+                    deps[:, k * TN:(k + 1) * TN] * na_k
+            return 0
+
+        if "update" not in skip:
+            jax.lax.fori_loop(0, ntiles, upd_tile, 0)
+
+    @pl.when((b == nb - 1) & (p == 1))
+    def _():
+        eps_out_ref[...] = eps_s[:, :, pl.ds(off_j, TJ)]
+
+
+@functools.lru_cache(maxsize=None)
+def _build_sweep_call_tiled(nblocks, B, mb_pad, T, K, W, shared_na,
+                            interpret, skip=frozenset(), tj=0):
+    NT = 1 if shared_na else T
+    TJ = tj or pick_lane_tile(mb_pad)
+    nj = mb_pad // TJ
+    kern = functools.partial(_sweep_kernel_tiled, n_mix=K, n_traits=T,
+                             wave=W, shared_na=shared_na, skip=skip)
+    nb = nblocks
+
+    def park_eps0(b, p, j, blk):
+        return (0, 0, jnp.where((b == 0) & (p == 0), j, 0))
+
+    def park_na(b, p, j, blk):
+        return (0, 0, jnp.where(p == 1, j, 0))
+
+    def park_eps_out(b, p, j, blk):
+        return (0, 0, jnp.where((b == nb - 1) & (p == 1), j, 0))
+
+    blockwise = lambda b, p, j, blk: (b, 0, 0)        # noqa: E731
+    blockwise4 = lambda b, p, j, blk: (b, 0, 0, 0)    # noqa: E731
+    in_specs = [
+        pl.BlockSpec((B, TJ), lambda b, p, j, blk: (blk[b], j)),   # bed
+        pl.BlockSpec((1, 1, B), blockwise),                        # win
+        pl.BlockSpec((1, NT, 2 * B, 2 * B),
+                     lambda b, p, j, blk: (blk[b], 0, 0, 0)),      # gfull
+        pl.BlockSpec((T, 4, TJ), park_eps0),                       # eps0
+        pl.BlockSpec((NT, 4, TJ), park_na),                        # na
+        pl.BlockSpec((1, T, B), blockwise),                        # mave
+        pl.BlockSpec((1, T, B), blockwise),                        # msig
+        pl.BlockSpec((1, T, B), blockwise),                        # beta_old
+        pl.BlockSpec((1, T, B), blockwise),                        # comp_old
+        pl.BlockSpec((1, T, B), blockwise),                        # acum_old
+        pl.BlockSpec((1, T, B), blockwise),                        # u
+        pl.BlockSpec((1, T, B), blockwise),                        # z
+        pl.BlockSpec((1, T, B), blockwise),                        # live
+        pl.BlockSpec((1, T, B), blockwise),                        # zerob
+        pl.BlockSpec((1, K, T, B), blockwise4),                    # lc
+        pl.BlockSpec((1, K, T, B), blockwise4),                    # rd
+        pl.BlockSpec((1, K, T, B), blockwise4),                    # sqb
+        pl.BlockSpec((T, 1), lambda b, p, j, blk: (0, 0)),         # i2se
+        pl.BlockSpec((T, 1), lambda b, p, j, blk: (0, 0)),         # nonas
+    ]
+    out_specs = [
+        pl.BlockSpec((T, 4, TJ), park_eps_out),                    # eps_out
+        pl.BlockSpec((1, T, B), blockwise),                        # dbeta
+        pl.BlockSpec((1, T, B), blockwise),                        # beta_new
+        pl.BlockSpec((1, T, B), blockwise),                        # comp_new
+        pl.BlockSpec((1, T, B), blockwise),                        # acum_new
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((T, 4, mb_pad), _F32),
+        jax.ShapeDtypeStruct((nblocks, T, B), _F32),
+        jax.ShapeDtypeStruct((nblocks, T, B), _F32),
+        jax.ShapeDtypeStruct((nblocks, T, B), jnp.int32),
+        jax.ShapeDtypeStruct((nblocks, T, B), _F32),
+    ]
+    scratch = [
+        pltpu.VMEM((B, TJ), _BF16),                             # bedp tile
+        pltpu.VMEM((T, 4, mb_pad), _F32),                       # eps_s
+        pltpu.VMEM((NT, 2 * B, 2 * B), _F32),                   # gfull
+        pltpu.VMEM((2 * T, 2 * B), _F32),                       # cab
+        pltpu.VMEM((T * B, B), _F32),                           # gs
+        pltpu.VMEM((T, B), _F32),                               # corr
+        pltpu.VMEM((T, B), _F32),                               # dbeta
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblocks, 2, nj),
+        in_specs=in_specs, out_specs=out_specs, scratch_shapes=scratch,
+    )
+    return pl.pallas_call(
+        kern, grid_spec=grid_spec, out_shape=out_shape, interpret=interpret,
+    )
+
+
+def vmem_fits_tiled(n_traits: int, block_size: int, mb_pad: int,
+                    budget_bytes: int = 14 * 1024 * 1024) -> bool:
+    """VMEM feasibility of the N-tiled mega-kernel: the residual scratch
+    (T x 4 x mb_pad f32) is the only O(N) term."""
+    TJ = pick_lane_tile(mb_pad)
+    B = block_size
+    T = n_traits
+    eps_s = T * 4 * mb_pad * 4
+    tiles = 2 * B * TJ + B * TJ * 2 + 3 * 2 * T * 4 * TJ * 4  # bed+bedp+eps io
+    gram = 3 * T * (2 * B) ** 2 * 4 + T * B * B * 4
+    return eps_s + tiles + gram < budget_bytes
+
+
 def sweep_blocks_pallas(
     bed, blkidx, win_p, gram_cache, eps0, na, mave_p, msig_p,
     beta_old_p, comp_old_p, acum_old_p, u_p, z_p, live_p, zerob_p,
     lc_p, rd_p, sqb_p, i2se, nonas_col,
     *, wave: int, shared_na: bool, interpret: bool = False,
+    tiled: bool = False,
 ):
     """Run the whole-sweep mega-kernel.
 
@@ -440,10 +741,16 @@ def sweep_blocks_pallas(
         # Profiling: XLA-glue-only floor — the kernel is not launched.
         z = jnp.zeros((nblocks, T, B), _F32)
         return (eps0.astype(_F32), z, z, z.astype(jnp.int32), z)
-    call = _build_sweep_call(nblocks, B, mb_pad, T, K, wave,
-                             bool(shared_na),
-                             resolve_interpret(interpret or FORCE_INTERPRET),
-                             DEBUG_SKIP)
+    if tiled:
+        call = _build_sweep_call_tiled(
+            nblocks, B, mb_pad, T, K, wave, bool(shared_na),
+            resolve_interpret(interpret or FORCE_INTERPRET),
+            DEBUG_SKIP, pick_lane_tile(mb_pad))
+    else:
+        call = _build_sweep_call(
+            nblocks, B, mb_pad, T, K, wave, bool(shared_na),
+            resolve_interpret(interpret or FORCE_INTERPRET),
+            DEBUG_SKIP)
     na_in = na[:1] if shared_na else na
     return call(
         blkidx.astype(jnp.int32),
@@ -519,14 +826,23 @@ def _gram_cache_kernel(bed_ref, na_ref, out_ref, gfull_s,
     """Raw Gram quadrants of one natural block, with the EXACT tile-loop
     accumulation structure of the in-kernel Gram it replaces (same _LANES
     tiles, same f32 partial sums), so downstream results stay bit-identical
-    to the recompute-every-iteration variant."""
-    T = n_traits
-    B = bed_ref.shape[0]
-    mb_pad = bed_ref.shape[1]
-    TN = _LANES
-    ntiles = mb_pad // TN
+    to the recompute-every-iteration variant.
 
-    gfull_s[...] = jnp.zeros(gfull_s.shape, _F32)
+    Grid is (nblocks, n_lane_tiles): the individuals axis streams through
+    VMEM in ``tj``-byte tiles (pick_lane_tile), so the builder has no
+    N ceiling — only the (B, tj) bed tile is resident, the accumulator
+    persists across the inner grid axis.
+    """
+    T = n_traits
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+    tj = bed_ref.shape[1]
+    TN = _LANES
+    ntiles = tj // TN
+
+    @pl.when(j == 0)
+    def _():
+        gfull_s[...] = jnp.zeros(gfull_s.shape, _F32)
 
     def tile(i, _):
         off = pl.multiple_of(i * TN, TN)
@@ -545,22 +861,28 @@ def _gram_cache_kernel(bed_ref, na_ref, out_ref, gfull_s,
         return 0
 
     jax.lax.fori_loop(0, ntiles, tile, 0)
-    out_ref[0] = gfull_s[...]
+
+    @pl.when(j == nj - 1)
+    def _():
+        out_ref[0] = gfull_s[...]
 
 
 @functools.lru_cache(maxsize=None)
-def _build_gram_cache_call(nblocks, B, mb_pad, T, shared_na, interpret):
+def _build_gram_cache_call(nblocks, B, mb_pad, T, shared_na, interpret,
+                           tj=0):
     NT = 1 if shared_na else T
+    tj = tj or pick_lane_tile(mb_pad)
+    nj = mb_pad // tj
     kern = functools.partial(_gram_cache_kernel, n_traits=T,
                              shared_na=shared_na)
     return pl.pallas_call(
-        kern, grid=(nblocks,),
+        kern, grid=(nblocks, nj),
         in_specs=[
-            pl.BlockSpec((B, mb_pad), lambda b: (b, 0)),          # bed
-            pl.BlockSpec((NT, 4, mb_pad), lambda b: (0, 0, 0)),   # na
+            pl.BlockSpec((B, tj), lambda b, j: (b, j)),          # bed
+            pl.BlockSpec((NT, 4, tj), lambda b, j: (0, 0, j)),   # na
         ],
         out_specs=pl.BlockSpec((1, NT, 2 * B, 2 * B),
-                               lambda b: (b, 0, 0, 0)),
+                               lambda b, j: (b, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((nblocks, NT, 2 * B, 2 * B), _F32),
         scratch_shapes=[pltpu.VMEM((NT, 2 * B, 2 * B), _F32)],
         interpret=interpret,
@@ -583,5 +905,6 @@ def build_gram_cache(bed, na, *, block_size, shared_na, interpret=False):
     na_in = na[:1] if shared_na else na
     call = _build_gram_cache_call(
         nblocks, block_size, mb_pad, T, bool(shared_na),
-        resolve_interpret(interpret or FORCE_INTERPRET))
+        resolve_interpret(interpret or FORCE_INTERPRET),
+        pick_lane_tile(mb_pad))
     return call(bed, na_in.astype(_F32))

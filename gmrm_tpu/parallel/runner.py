@@ -63,24 +63,26 @@ def _state_specs() -> SamplerState:
     )
 
 
-def _static_specs() -> StaticInputs:
+def _static_specs(with_cache: bool = False) -> StaticInputs:
     rep = P()
     return StaticInputs(
         bed=P(MARKER_AXIS), na=rep, mave=P(None, MARKER_AXIS),
         msig=P(None, MARKER_AXIS), group_of=P(MARKER_AXIS), mtotgrp=rep,
         nonas=rep, cva=rep, cvai=rep, n_total=rep, m_local=P(MARKER_AXIS),
+        gram_cache=P(MARKER_AXIS) if with_cache else None,
     )
 
 
 def make_sharded_step(mesh, *, block_size: int, use_pallas: bool = False,
                       donate: bool = True, shuffle: bool = True,
-                      shared_na: bool = False, wave_size: int = 1):
+                      shared_na: bool = False, wave_size: int = 1,
+                      with_cache: bool = False):
     """Jitted sharded step (state, static, it) -> (state, aux)."""
     fn = partial(gibbs_iteration, block_size=block_size,
                  axis_name=MARKER_AXIS, use_pallas=use_pallas,
                  shuffle=shuffle, shared_na=shared_na,
                  wave_size=wave_size)
-    sspec, tspec = _state_specs(), _static_specs()
+    sspec, tspec = _state_specs(), _static_specs(with_cache)
     # check_vma is disabled on the Pallas path: vma tracking inside
     # interpret-mode kernel bodies rejects kernel-internal constants
     # (mixed varying/replicated operands to primitive ops); the kernels
@@ -93,6 +95,49 @@ def make_sharded_step(mesh, *, block_size: int, use_pallas: bool = False,
         check_vma=not use_pallas,
     )
     return jax.jit(sharded, donate_argnums=(0,) if donate else ())
+
+
+def estimate_sync_seconds(mesh, nblocks: int, t_traits: int, mb_pad: int,
+                          n_groups: int, n_mix: int, dtype,
+                          timing_iters: int = 20) -> float:
+    """Measure one iteration's collective (sync) cost on this mesh.
+
+    The sharded sweep's per-iteration communication is ``nblocks``
+    dependent psums of the (T, 4, mb_pad) residual delta plus the two
+    tiny hyper-block psums (beta^2 per group, cass) — the TPU analog of
+    the reference's per-marker Allgatherv + per-iteration Allreduce
+    whose cost it prints as "sync time" (bayes.cpp:549-551,653-655).
+    Inside one jitted step the psum cost cannot be timed separately, so
+    this runs the exact collective sequence standalone (same shapes,
+    same serial dependence) and returns seconds per iteration.
+    """
+    import jax.random as jr
+
+    def chain(eps):
+        def body(_, carry):
+            eps, d = carry
+            s = jax.lax.psum(d, MARKER_AXIS)
+            eps = eps + s * 1e-9
+            return eps, d + eps * 1e-12
+        d0 = eps * (jax.lax.axis_index(MARKER_AXIS).astype(eps.dtype)
+                    * 1e-9 + 1.0)
+        eps, d = jax.lax.fori_loop(0, nblocks, body, (eps, d0))
+        small = jnp.sum(eps) * jnp.ones((t_traits, n_groups, n_mix),
+                                        eps.dtype)
+        small = jax.lax.pcast(small, (MARKER_AXIS,), to='varying')
+        return eps + jax.lax.psum(small, MARKER_AXIS)[0, 0, 0]
+
+    fn = jax.jit(jax.shard_map(chain, mesh=mesh, in_specs=P(),
+                               out_specs=P()))
+    eps = jnp.asarray(
+        np.asarray(jr.normal(jr.PRNGKey(0), (t_traits, 4, mb_pad))), dtype)
+    out = fn(eps)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(timing_iters):
+        out = fn(out * 0.5)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / timing_iters
 
 
 class ShardLayout:
@@ -232,7 +277,8 @@ class ShardedOutputSet:
     the files, every process writes its own marker ranges (the reference's
     per-rank positioned writes, xfiles.hpp:15-38)."""
 
-    def __init__(self, opt: Options, data: ProcessData, resume: bool = False):
+    def __init__(self, opt: Options, data: ProcessData, resume: bool = False,
+                 n_rec: Optional[int] = None):
         self.enabled = bool(opt.out_dir)
         self.csv_paths, self.bet, self.cpn = [], [], []
         if not self.enabled:
@@ -240,6 +286,9 @@ class ShardedOutputSet:
         pid = jax.process_index()
         # Process 0 creates (or, on resume, keeps) every file, THEN one
         # barrier, then the other processes attach without truncating.
+        # On resume the files are cut back to the checkpoint's n_rec:
+        # rows written after the checkpoint was taken are stale and must
+        # not survive past the resume point.
         if pid == 0:
             opt.ensure_out_dir()
             for base in data.out_basenames:
@@ -247,8 +296,17 @@ class ShardedOutputSet:
                 if not resume and os.path.exists(b + ".csv"):
                     os.remove(b + ".csv")
                 if resume and os.path.exists(b + ".bet"):
-                    HistoryWriter.open_existing(b + ".bet", data.m_total,
-                                                "f8")
+                    for suf, kind in ((".bet", "f8"), (".cpn", "i4")):
+                        w = HistoryWriter.open_existing(b + suf,
+                                                        data.m_total, kind)
+                        if n_rec is not None:
+                            w.truncate_to(n_rec)
+                    if n_rec is not None and os.path.exists(b + ".csv"):
+                        g, k = opt.cva.shape
+                        row_len = len(format_csv_record(
+                            0, np.zeros(g), 0.0, 0, np.zeros((g, k))))
+                        if os.path.getsize(b + ".csv") > n_rec * row_len:
+                            os.truncate(b + ".csv", n_rec * row_len)
                 else:
                     HistoryWriter(b + ".bet", data.m_total, "f8")
                     HistoryWriter(b + ".cpn", data.m_total, "i4")
@@ -345,6 +403,7 @@ def run_training_sharded(opt: Options, n_devices: int = 0,
     loads and writes only its own shards).
     """
     opt.validate()
+    opt.resolve_compute_plan()
     if opt.cva is None:
         opt.load_group_mixtures()
     dtype = jnp.dtype(opt.dtype)
@@ -390,7 +449,31 @@ def run_training_sharded(opt: Options, n_devices: int = 0,
     mave = fix(mave, valid)
     msig = fix(msig, valid)
 
+    use_pallas = opt.use_pallas
+    shared_na = all(ph.nas == 0 for ph in data.phens)
+
+    # Per-shard Gram cache (VERDICT r3 item 1): the sharded sweep's
+    # per-block Gram is iteration-invariant under the block-preserving
+    # shuffle exactly as on one device, so each shard precomputes its
+    # natural blocks' raw quadrants once and the step's cached-Gram path
+    # (gibbs.marker_sweep) consumes them — the per-block psum(delta eps)
+    # cadence is unchanged.
+    gram_cache = None
+    if (dtype == jnp.float32 and use_pallas and opt.wave_size > 1
+            and opt.block_size % opt.wave_size == 0):
+        from gmrm_tpu.ops.sweep_kernel import build_gram_cache
+        cache_fn = jax.jit(
+            jax.shard_map(
+                partial(build_gram_cache, block_size=opt.block_size,
+                        shared_na=shared_na),
+                mesh=mesh, in_specs=(shard1, rep),
+                out_specs=P(MARKER_AXIS), check_vma=False,
+            )
+        )
+        gram_cache = cache_fn(bed, na)
+
     static = StaticInputs(
+        gram_cache=gram_cache,
         bed=bed, na=na, mave=mave, msig=msig,
         group_of=make_global(mesh, shard1, data.group_local),
         mtotgrp=make_global(mesh, rep, data.mtotgrp),
@@ -430,15 +513,12 @@ def run_training_sharded(opt: Options, n_devices: int = 0,
         key=make_global(mesh, rep, np.asarray(key)),
     )
 
-    use_pallas = opt.use_pallas
-    if use_pallas is None:
-        use_pallas = jax.default_backend() not in ("cpu",)
-    shared_na = all(ph.nas == 0 for ph in data.phens)
     step = make_sharded_step(mesh, block_size=opt.block_size,
                              use_pallas=use_pallas,
                              shuffle=opt.shuffle_markers,
                              shared_na=shared_na,
-                             wave_size=opt.wave_size)
+                             wave_size=opt.wave_size,
+                             with_cache=gram_cache is not None)
 
     # --- checkpoint/resume (parity with the single-device runner) --------
     beta_acc = np.zeros((t, data.m_total), np.float64)
@@ -473,8 +553,25 @@ def run_training_sharded(opt: Options, n_devices: int = 0,
         if verbose and jax.process_index() == 0:
             print(f"INFO   : resuming sharded run from iteration {last_it}")
 
-    outputs = ShardedOutputSet(opt, data, resume=resuming)
+    outputs = ShardedOutputSet(opt, data, resume=resuming,
+                               n_rec=n_rec if resuming else None)
     result = RunResult(state=state)
+
+    # The reference's per-iteration "with sync time = ..." observable
+    # (bayes.cpp:653-655): measured once from the standalone collective
+    # chain (same shapes/cadence as the sweep's psums) and printed with
+    # each iteration's total at verbosity >= 1.
+    sync_est = None
+    if verbose and opt.verbosity_level(1):
+        nblocks_sync = layout.m_pad_shard // opt.block_size
+        g, k = opt.cva.shape
+        sync_est = estimate_sync_seconds(
+            mesh, nblocks_sync, len(data.phens), data.mb_pad, g, k, dtype)
+        if jax.process_index() == 0:
+            print(f"INFO   : measured collective sync cost = "
+                  f"{sync_est * 1000:.3f} ms/iteration "
+                  f"({nblocks_sync} psums of {len(data.phens)}x4x"
+                  f"{data.mb_pad} f32)")
 
     # Iterations are dispatched back-to-back without per-iteration host
     # syncs (parity with the single-device runner; a host round-trip costs
@@ -507,11 +604,15 @@ def run_training_sharded(opt: Options, n_devices: int = 0,
                     print(f"RESULT : i:{it} p:{ti}  sum sigmaG = "
                           f"{sg_sum[ti]:20.15f}  sigmaE = "
                           f"{sigmae[ti]:20.15f}")
-        if verbose:
+        # Per-iteration sync+print costs a host round-trip; it rides
+        # --verbosity >= 1 (see runner.run_training).
+        if verbose and opt.verbosity_level(1):
             jax.block_until_ready(state.sigmae)
             dt = time.perf_counter() - t0
             if jax.process_index() == 0:
-                print(f"RESULT : It {it}  total proc time = {dt:7.3f} sec")
+                print(f"RESULT : It {it}  total proc time = {dt:7.3f} sec, "
+                      f"with sync time = {sync_est:7.3f} sec (measured "
+                      f"collective chain)")
         else:
             dt = time.perf_counter() - t0
         result.iter_seconds.append(dt)

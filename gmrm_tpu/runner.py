@@ -120,6 +120,7 @@ def load_data(
 
 
 def build_static(data: LoadedData, opt: Options, dtype) -> StaticInputs:
+    opt.resolve_compute_plan()
     bed = jnp.asarray(data.bed)
     na = jnp.asarray(data.na, dtype)
     nonas = jnp.asarray(data.nonas, dtype)
@@ -136,14 +137,15 @@ def build_static(data: LoadedData, opt: Options, dtype) -> StaticInputs:
     if (dtype == jnp.float32 and opt.wave_size > 1
             and opt.use_pallas is not False
             and opt.block_size % opt.wave_size == 0):
-        from gmrm_tpu.ops.sweep_kernel import build_gram_cache, vmem_fits
-        t = data.na.shape[0]
-        if vmem_fits(t, opt.block_size, data.bed.shape[1]):
-            # Same criterion the runners use for the step's shared_na
-            # static hint — the cache NT axis must match it.
-            shared_na = all(ph.nas == 0 for ph in data.phens)
-            gram_cache = build_gram_cache(
-                bed, na, block_size=opt.block_size, shared_na=shared_na)
+        # Built for EVERY block-mode run (not just when the mega-kernel
+        # fits VMEM): the cached-Gram composed path consumes it too,
+        # removing the per-iteration O(Mt N B) Gram recompute at any N.
+        from gmrm_tpu.ops.sweep_kernel import build_gram_cache
+        # Same criterion the runners use for the step's shared_na
+        # static hint — the cache NT axis must match it.
+        shared_na = all(ph.nas == 0 for ph in data.phens)
+        gram_cache = build_gram_cache(
+            bed, na, block_size=opt.block_size, shared_na=shared_na)
     return StaticInputs(
         gram_cache=gram_cache,
         bed=bed, na=na, mave=mave, msig=msig,
@@ -236,6 +238,7 @@ class OutputSet:
 def run_training(opt: Options, verbose: bool = True) -> RunResult:
     """The full --process path on the current default device."""
     opt.validate()
+    opt.resolve_compute_plan()
     if opt.cva is None:
         opt.load_group_mixtures()
     dtype = jnp.dtype(opt.dtype)
@@ -247,9 +250,12 @@ def run_training(opt: Options, verbose: bool = True) -> RunResult:
     if verbose:
         print(f"INFO   : time to load genotype + phenotype data = "
               f"{time.perf_counter() - t0:.2f} seconds.")
-        for ph in data.phens:
-            print(f"INFO   : {ph.filepath} has {ph.nas} NAs and "
-                  f"{ph.nonas} non-NAs.")
+        # Per-phenotype NA detail rides --verbosity like the reference
+        # (phenotype.cpp:610-627 gates it at verbosity_level(2)).
+        if opt.verbosity_level(2):
+            for ph in data.phens:
+                print(f"INFO   : {ph.filepath} has {ph.nas} NAs and "
+                      f"{ph.nonas} non-NAs.")
     t0 = time.perf_counter()
     static = build_static(data, opt, dtype)
     jax.block_until_ready(static.msig)
@@ -259,8 +265,6 @@ def run_training(opt: Options, verbose: bool = True) -> RunResult:
     state = init_sampler_state(data, opt, dtype)
 
     use_pallas = opt.use_pallas
-    if use_pallas is None:
-        use_pallas = jax.default_backend() not in ("cpu",)
     shared_na = all(ph.nas == 0 for ph in data.phens)
     step = make_gibbs_step(block_size=opt.block_size, use_pallas=use_pallas,
                            donate=True, shuffle=opt.shuffle_markers,
@@ -312,7 +316,11 @@ def run_training(opt: Options, verbose: bool = True) -> RunResult:
                         f"RESULT : i:{it} p:{ti}  sum sigmaG = "
                         f"{sg_sum[ti]:20.15f}  sigmaE = {se[ti]:20.15f}"
                     )
-        if verbose:
+        # Per-iteration timing (the reference's bayes.cpp:653-655 print)
+        # costs a device sync (~25 ms on a tunneled TPU — more than an
+        # iteration), so it rides --verbosity >= 1; at verbosity 0 the
+        # chain stays dispatch-pipelined and iter times are batch-level.
+        if verbose and opt.verbosity_level(1):
             jax.block_until_ready(state.sigmae)
             dt = time.perf_counter() - t0
             print(f"RESULT : It {it}  total proc time = {dt:7.3f} sec")

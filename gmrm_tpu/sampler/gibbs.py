@@ -59,10 +59,21 @@ def marker_sweep(
     pallas_upd: bool = False,
     megakernel=None,
     block_perm=None,
+    gram_cached=None,
 ):
     """The full marker sweep (reference loop bayes.cpp:375-553) over Gram
     blocks, with all randomness injected — directly comparable to the NumPy
     serial oracle.  Returns (eps, betas, comp, acum, cass_local).
+
+    ``gram_cached`` (None = auto) selects the cached-Gram composed path:
+    the per-block Gram comes from ``static.gram_cache`` (built once — X
+    never changes and block membership is fixed under the
+    block-preserving shuffle) permuted/scaled in XLA, and only the
+    residual dot products stream over the bed.  This removes the
+    per-iteration O(Mt N B) Gram recompute on every path the mega-kernel
+    cannot take: the sharded multi-device sweep (per-block psum cadence
+    unchanged) and single-device problems whose rows exceed VMEM.
+    ``gram_cached=False`` forces the full recompute (A/B gates).
 
     ``shared_na`` is a static hint that all traits share one NA mask (no
     phenotype NAs) — it collapses the per-trait Gram to a single one.
@@ -145,11 +156,31 @@ def marker_sweep(
             and B % wave_size == 0 and megakernel is not False
             and block_perm is not None
             and static.gram_cache is not None)
+    if megakernel and not mega:
+        # An explicit megakernel request with missing prerequisites must
+        # fail loudly, not silently run the composed path (a silent
+        # fallback made the mega A/B tests vacuous once).
+        raise ValueError(
+            "megakernel=True requires use_pallas+pallas_gram, f32, "
+            "wave_size>1 dividing block_size, no axis_name, a "
+            "block-preserving shuffle and static.gram_cache "
+            f"(got use_pallas={use_pallas}, pallas_gram={pallas_gram}, "
+            f"axis_name={axis_name}, dtype={dtype}, wave={wave_size}, "
+            f"B={B}, block_perm={'set' if block_perm is not None else None}, "
+            f"gram_cache={'set' if static.gram_cache is not None else None})")
+    tiled = False
     if mega:
         from gmrm_tpu.ops.sweep_kernel import (
             sweep_blocks_pallas, build_sweep_prep, vmem_fits,
+            vmem_fits_tiled,
         )
-        mega = megakernel or vmem_fits(T, B, static.bed.shape[1])
+        if megakernel == "tiled":
+            tiled = True               # test hook: force the tiled grid
+        else:
+            resident = vmem_fits(T, B, static.bed.shape[1])
+            tiled = ((not resident)
+                     and vmem_fits_tiled(T, B, static.bed.shape[1]))
+            mega = bool(megakernel) or resident or tiled
 
     # With a block-preserving permutation the bed is never copied: the
     # mega kernel prefetch-indexes it, the composed body dynamic-slices
@@ -181,7 +212,7 @@ def marker_sweep(
                 mave_p, msig_p, beta_old_p, comp_old_p, acum_old_p,
                 u_all, z_all, live_p, zerob_p,
                 lc_p, rd_p, sqb_p, i2se, nonas_col,
-                wave=wave_size, shared_na=shared_na)
+                wave=wave_size, shared_na=shared_na, tiled=tiled)
         eps = eps_out.astype(dtype)
         onehot_k = jax.nn.one_hot(comp_new_p, K, dtype=jnp.int32)
         onehot_g = jax.nn.one_hot(grp_p, G, dtype=jnp.int32)
@@ -192,6 +223,44 @@ def marker_sweep(
             perm, m_pad, T)
 
     mb_pad = static.bed.shape[1]
+
+    # Cached-Gram composed mode: needs the block-preserving shuffle (so
+    # natural-block membership is iteration-invariant) and the f32 Pallas
+    # path whose accumulation structure the cache builder reproduces.
+    use_cache = (stream_bed and static.gram_cache is not None
+                 and use_pallas and pallas_gram and dtype == jnp.float32
+                 and gram_cached is not False)
+    if gram_cached is True and not use_cache:
+        raise ValueError(
+            "gram_cached=True requires the block-preserving shuffle, "
+            "use_pallas+pallas_gram, f32 and static.gram_cache")
+
+    def cached_gram_scaled(bidx, win_blk, bed_blk, eps, mave_blk, msig_blk):
+        from gmrm_tpu.ops.pallas_kernels import block_cdot_pallas
+        c = block_cdot_pallas(bed_blk, eps, mave_blk, msig_blk,
+                              axis_name=axis_name)
+        nt = static.gram_cache.shape[1]
+        gf = jax.lax.dynamic_slice(
+            static.gram_cache, (bidx, 0, 0, 0),
+            (1, nt, 2 * B, 2 * B))[0]                      # (NT, 2B, 2B)
+        # Natural -> processing order: one exact row+col gather (the
+        # in-kernel mega path needs the base-256 MXU trick for this;
+        # XLA take is exact).
+        win2 = jnp.concatenate([win_blk, win_blk + B])
+        gf = jnp.take(jnp.take(gf, win2, axis=1), win2, axis=2)
+        g1 = gf[:, :B, :B]
+        g2 = gf[:, B:, :B]
+        g2t = gf[:, :B, B:]
+        g3 = gf[:, B:, B:]
+        # Identical scaling expression to the fused Gram kernel
+        # (ops/pallas_kernels.py _gram_kernel) so results stay
+        # bit-comparable; NT=1 (shared na) broadcasts over traits.
+        mr = mave_blk[:, None, :]                          # (T, 1, B)
+        mc = mave_blk[:, :, None]                          # (T, B, 1)
+        sr = msig_blk[:, None, :]
+        sc = msig_blk[:, :, None]
+        graw = g1 - mr * g2t - mc * g2 + (mc * mr) * g3
+        return c, (sc * sr) * graw
 
     def block_body(carry, xs):
         eps, cass = carry
@@ -205,7 +274,11 @@ def marker_sweep(
             (bed_blk, mave_blk, msig_blk, grp_blk, valid_blk,
              beta_old, comp_old, acum_old, u_blk, z_blk) = xs
 
-        c, gs = gram_scaled_fn(bed_blk, eps, mave_blk, msig_blk, dtype)
+        if use_cache:
+            c, gs = cached_gram_scaled(bidx, win_blk, bed_blk, eps,
+                                       mave_blk, msig_blk)
+        else:
+            c, gs = gram_scaled_fn(bed_blk, eps, mave_blk, msig_blk, dtype)
 
         res = scan_fn(
             c, gs, beta_old, comp_old, acum_old, grp_blk, valid_blk,
@@ -270,6 +343,7 @@ def gibbs_iteration(
     pallas_gram: bool = True,
     pallas_upd: bool = False,
     megakernel=None,
+    gram_cached=None,
 ):
     T, _, mb = state.eps.shape
     m_pad = state.betas.shape[1]
@@ -318,8 +392,11 @@ def gibbs_iteration(
     # is A/B'd against (bench_mega.py / test_sweep_kernel.py).  The
     # composed fallback consumes the same scheme by dynamic-slicing
     # natural blocks (no whole-bed copy — at UKB scale the former
-    # physical permute doubled HBM and OOM'd).
-    block_mode = (use_pallas and pallas_gram and axis_name is None
+    # physical permute doubled HBM and OOM'd).  Under shard_map
+    # (axis_name set) each device draws its own block order + row
+    # shuffle (k_perm is device-folded above), enabling the per-shard
+    # Gram cache on the sharded sweep too.
+    block_mode = (use_pallas and pallas_gram
                   and dtype == jnp.float32 and wave_size > 1
                   and B % wave_size == 0)
     pi_b = win = None
@@ -355,6 +432,7 @@ def gibbs_iteration(
         axis_name=axis_name, use_pallas=use_pallas, shared_na=shared_na,
         wave_size=wave_size, pallas_gram=pallas_gram, pallas_upd=pallas_upd,
         megakernel=megakernel, block_perm=block_perm,
+        gram_cached=gram_cached,
     )
 
     # --- 4. hyperparameter block -----------------------------------------
@@ -402,7 +480,8 @@ def make_gibbs_step(*, block_size: int, axis_name: Optional[str] = None,
                     use_pallas: bool = False, donate: bool = True,
                     shuffle: bool = True, shared_na: bool = False,
                     wave_size: int = 1, pallas_gram: bool = True,
-                    pallas_upd: bool = False, megakernel=None):
+                    pallas_upd: bool = False, megakernel=None,
+                    gram_cached=None):
     """Jitted single-iteration step (state, static, it) -> (state, aux).
 
     ``static`` is a regular argument (not a closure constant) so the bed
@@ -412,6 +491,6 @@ def make_gibbs_step(*, block_size: int, axis_name: Optional[str] = None,
         gibbs_iteration, block_size=block_size, axis_name=axis_name,
         use_pallas=use_pallas, shuffle=shuffle, shared_na=shared_na,
         wave_size=wave_size, pallas_gram=pallas_gram, pallas_upd=pallas_upd,
-        megakernel=megakernel,
+        megakernel=megakernel, gram_cached=gram_cached,
     )
     return jax.jit(fn, donate_argnums=(0,) if donate else ())

@@ -273,3 +273,178 @@ def test_entry_compiles():
     fn, args = mod.entry()
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
+
+
+@needs_8
+def test_verbosity_gates_detail_and_sync_split(sim_tiny, tmp_path, capsys):
+    """--verbosity wiring (VERDICT r3 item 6): level 0 suppresses the
+    per-iteration timing + NA detail; level >= 1 restores the iteration
+    print with the reference's "with sync time" split
+    (bayes.cpp:653-655); level >= 2 restores per-phen NA counts
+    (phenotype.cpp:610-627)."""
+    from gmrm_tpu.runner import run_training
+    from gmrm_tpu.parallel.runner import run_training_sharded
+
+    o0 = _opts(sim_tiny, str(tmp_path / "v0"), iterations=2, block_size=8,
+               verbosity=0, output_thin_rate=1)
+    run_training(o0, verbose=True)
+    out0 = capsys.readouterr().out
+    assert "total proc time" not in out0
+    assert "NAs" not in out0
+    assert "RESULT" in out0          # thin-boundary chain lines stay
+
+    o2 = _opts(sim_tiny, str(tmp_path / "v2"), iterations=2, block_size=8,
+               verbosity=2, output_thin_rate=1)
+    run_training(o2, verbose=True)
+    out2 = capsys.readouterr().out
+    assert "total proc time" in out2
+    assert "non-NAs" in out2
+
+    os1 = _opts(sim_tiny, str(tmp_path / "vs1"), iterations=2, block_size=8,
+                verbosity=1)
+    run_training_sharded(os1, verbose=True)
+    outs = capsys.readouterr().out
+    assert "with sync time =" in outs
+    assert "measured collective sync cost" in outs
+
+
+@needs_8
+def test_sharded_cached_gram_matches_recompute(sim_small):
+    """The per-shard Gram cache (VERDICT r3 item 1) under shard_map: the
+    cached-Gram sharded sweep must reproduce the recompute sharded sweep
+    exactly (same block-preserving shuffle, same per-block psum cadence)
+    — discrete choices equal, continuous state to f32 tolerance."""
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+    from gmrm_tpu.io.bed import read_bed
+    from gmrm_tpu.io.grouping import read_dim, read_group_index
+    from gmrm_tpu.io.phen import read_phen
+    from gmrm_tpu.ops.decode import to_phase_planes
+    from gmrm_tpu.ops.sweep_kernel import build_gram_cache
+    from gmrm_tpu.parallel.mesh import (
+        MARKER_AXIS, make_marker_mesh, marker_blocks,
+    )
+    from gmrm_tpu.parallel.runner import _static_specs
+    from gmrm_tpu.sampler.gibbs import marker_sweep
+    from gmrm_tpu.sampler.state import StaticInputs, pad_bed, pi_prior_from_cva
+
+    D, B, W = 8, 8, 4
+    n, m = read_dim(sim_small.dim)
+    bed = read_bed(sim_small.bed, n, m)
+    ph = read_phen(sim_small.phens[0], n)
+    napad = ph.na_vector_padded()
+
+    opt = Options(group_mixture_file=sim_small.grm)
+    opt.load_group_mixtures()
+    cva, cvai = opt.cva, opt.cvai
+    G, K = cva.shape
+    gidx = read_group_index(sim_small.gri, G)
+    mtotgrp = np.bincount(gidx, minlength=G)
+
+    blocks_glob = marker_blocks(m, D)
+    mm = max(ln for _, ln in blocks_glob)
+    mps = -(-mm // B) * B
+    nblocks = mps // B
+
+    mesh = make_marker_mesh(D)
+    mb, mb_pad = bed.shape[1], 512              # runner lane_pad layout
+    bed_sh = np.concatenate(
+        [pad_bed(bed[s:s + ln], mps, mb_pad) for s, ln in blocks_glob],
+        axis=0)
+
+    def shardpad(x, fill=0.0):
+        out = np.full(D * mps, fill, dtype=np.float64)
+        for i, (s, ln) in enumerate(blocks_glob):
+            out[i * mps:i * mps + ln] = x[s:s + ln]
+        return out
+
+    def planes(vec):
+        out = np.zeros((1, 4, mb_pad))
+        out[0, :, :mb] = to_phase_planes(vec)
+        return jnp.asarray(out, jnp.float32)
+
+    f32 = jnp.float32
+    na_dev = planes(napad)
+    bed_dev = jnp.asarray(bed_sh)
+
+    # marker stats from the oracle (exactness is not the point here; the
+    # SAME stats feed both variants)
+    from gmrm_tpu.io.bed import unpack_codes, decode_planes
+    from gmrm_tpu import oracle
+    codes = unpack_codes(bed, 4 * bed.shape[1])
+    a, b = decode_planes(codes)
+    a, b = a * napad, b * napad
+    mave, msig = oracle.marker_stats(a, b, napad, ph.nonas)
+
+    # per-shard gram cache via the production shard_map plumbing
+    cache_fn = jax.jit(jax.shard_map(
+        lambda bb, nn: build_gram_cache(bb, nn, block_size=B,
+                                        shared_na=True),
+        mesh=mesh, in_specs=(P(MARKER_AXIS), P()),
+        out_specs=P(MARKER_AXIS), check_vma=False))
+    gram_cache = cache_fn(bed_dev, na_dev)
+
+    def make_static(cache):
+        return StaticInputs(
+            gram_cache=cache,
+            bed=bed_dev, na=na_dev,
+            mave=jnp.asarray(shardpad(mave)[None], f32),
+            msig=jnp.asarray(shardpad(msig)[None], f32),
+            group_of=jnp.asarray(shardpad(gidx).astype(np.int32)),
+            mtotgrp=jnp.asarray(mtotgrp.astype(np.int32)),
+            nonas=jnp.asarray([ph.nonas], f32),
+            cva=jnp.asarray(cva, f32), cvai=jnp.asarray(cvai, f32),
+            n_total=jnp.asarray(float(n), f32),
+            m_local=jnp.asarray([ln for _, ln in blocks_glob], np.int32),
+        )
+
+    rng = np.random.default_rng(99)
+    pi_b = np.stack([rng.permutation(nblocks) for _ in range(D)])
+    win = np.stack([np.stack([rng.permutation(B) for _ in range(nblocks)])
+                    for _ in range(D)])
+    perm = (pi_b[:, :, None] * B + win).reshape(D * nblocks, B)
+    u_dev = jnp.asarray(rng.uniform(size=(D * nblocks, 1, B)), f32)
+    z_dev = jnp.asarray(rng.normal(size=(D * nblocks, 1, B)), f32)
+    sigmag0 = rng.uniform(0.05, 0.5, size=G)
+
+    def sweep(eps, betas, comp, acum, sigmag, sigmae, pi_est, static,
+              blocks, u_all, z_all, pi_b_d, win_d):
+        eps, betas, comp, acum, cass_local = marker_sweep(
+            eps, betas, comp, acum, sigmag, sigmae, pi_est,
+            static, blocks, u_all, z_all, axis_name=MARKER_AXIS,
+            use_pallas=True, shared_na=True, wave_size=W,
+            block_perm=(pi_b_d, win_d))
+        return eps, betas, comp, acum, jax.lax.psum(cass_local, MARKER_AXIS)
+
+    sh, sh2, rep = P(MARKER_AXIS), P(None, MARKER_AXIS), P()
+    outs = {}
+    for name, cache in (("recompute", None), ("cached", gram_cache)):
+        sweep_sh = jax.jit(jax.shard_map(
+            sweep, mesh=mesh,
+            in_specs=(rep, sh2, sh2, sh2, rep, rep, rep,
+                      _static_specs(cache is not None),
+                      sh, sh, sh, sh, sh),
+            out_specs=(rep, sh2, sh2, sh2, rep),
+            check_vma=False,
+        ))
+        outs[name] = jax.device_get(sweep_sh(
+            planes(ph.epsilon_padded()),
+            jnp.zeros((1, D * mps), f32),
+            jnp.zeros((1, D * mps), jnp.int32),
+            jnp.zeros((1, D * mps), f32),
+            jnp.asarray(sigmag0[None], f32), jnp.asarray([0.6], f32),
+            jnp.asarray(pi_prior_from_cva(cva)[None], f32),
+            make_static(cache),
+            jnp.asarray(perm.astype(np.int32)), u_dev, z_dev,
+            jnp.asarray(pi_b.reshape(-1).astype(np.int32)),
+            jnp.asarray(win.reshape(D * nblocks, B).astype(np.int32)),
+        ))
+
+    (e_a, b_a, c_a, a_a, k_a) = outs["recompute"]
+    (e_b, b_b, c_b, a_b, k_b) = outs["cached"]
+    np.testing.assert_array_equal(np.asarray(c_b), np.asarray(c_a))
+    np.testing.assert_array_equal(np.asarray(k_b), np.asarray(k_a))
+    np.testing.assert_allclose(np.asarray(b_b), np.asarray(b_a),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(e_b), np.asarray(e_a),
+                               rtol=1e-4, atol=1e-5)

@@ -27,8 +27,8 @@ def small_setup(tmp_path_factory):
                    n_groups=2, na_rate=0.02, seed=7)
     opt = Options(bed_file=sim.bed, dim_file=sim.dim, phen_files=sim.phens,
                   group_index_file=sim.gri, group_mixture_file=sim.grm,
-                  iterations=1, seed=3, block_size=32,
-                  output_thin_rate=10 ** 9)
+                  iterations=1, seed=3, block_size=32, wave_size=8,
+                  use_pallas=True, output_thin_rate=10 ** 9)
     opt.validate()
     opt.load_group_mixtures()
     data = load_data(opt)
@@ -88,3 +88,116 @@ def test_megakernel_multi_iteration_chain(small_setup, monkeypatch):
     np.testing.assert_array_equal(np.asarray(s_b.comp), np.asarray(s_a.comp))
     np.testing.assert_allclose(np.asarray(s_b.betas), np.asarray(s_a.betas),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_cached_gram_matches_recompute(small_setup, monkeypatch):
+    """The cached-Gram composed path (gram from build_gram_cache,
+    permuted+scaled in XLA) must agree with the full-recompute composed
+    path: identical processing order, identical math restructuring —
+    components exactly, continuous state to f32 tolerance."""
+    monkeypatch.setattr(pk, "FORCE_INTERPRET", True)
+    monkeypatch.setattr(skw, "FORCE_INTERPRET", True)
+    monkeypatch.setattr(swk, "FORCE_INTERPRET", True)
+    opt, data, static, state = small_setup
+    shared_na = all(ph.nas == 0 for ph in data.phens)
+    assert static.gram_cache is not None
+
+    outs = {}
+    for name, cached in (("recompute", False), ("cached", True)):
+        s2, _ = gibbs_iteration(
+            state, static, jnp.asarray(5, jnp.int32),
+            block_size=opt.block_size, use_pallas=True,
+            shared_na=shared_na, wave_size=8, megakernel=False,
+            gram_cached=cached)
+        outs[name] = jax.device_get(s2)
+
+    a, b = outs["recompute"], outs["cached"]
+    np.testing.assert_array_equal(np.asarray(b.comp), np.asarray(a.comp))
+    np.testing.assert_array_equal(np.asarray(b.cass), np.asarray(a.cass))
+    np.testing.assert_allclose(np.asarray(b.betas), np.asarray(a.betas),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(b.eps), np.asarray(a.eps),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_megakernel_raises_without_prerequisites(small_setup):
+    """megakernel=True with missing prerequisites must fail loudly, not
+    silently fall back to the composed path (ADVICE r3)."""
+    opt, data, static, state = small_setup
+    with pytest.raises(ValueError, match="megakernel=True requires"):
+        gibbs_iteration(
+            state, static, jnp.asarray(1, jnp.int32),
+            block_size=opt.block_size, use_pallas=True,
+            wave_size=1, megakernel=True)
+
+
+@pytest.fixture(scope="module")
+def tall_setup(tmp_path_factory):
+    """Enough individuals for a multi-lane-tile bed row (mb_pad = 1024)."""
+    out = str(tmp_path_factory.mktemp("talldata"))
+    sim = simulate(out, n=2500, m=64, n_traits=2, n_causal=16, h2=0.5,
+                   n_groups=1, na_rate=0.0, seed=11)
+    opt = Options(bed_file=sim.bed, dim_file=sim.dim, phen_files=sim.phens,
+                  group_index_file=sim.gri, group_mixture_file=sim.grm,
+                  iterations=1, seed=5, block_size=32, wave_size=8,
+                  use_pallas=True, output_thin_rate=10 ** 9)
+    opt.validate()
+    opt.load_group_mixtures()
+    data = load_data(opt)
+    static = build_static(data, opt, jnp.float32)
+    state = init_sampler_state(data, opt, jnp.float32)
+    return opt, data, static, state
+
+
+def test_tiled_megakernel_matches_composed(tall_setup, monkeypatch):
+    """The N-tiled mega-kernel (grid (nblocks, 2, n_tiles) — the UKB-scale
+    variant, VERDICT r3 item 2) vs the composed path, with TILE_MAX_LANES
+    shrunk so the grid really has 2 lane tiles."""
+    monkeypatch.setattr(pk, "FORCE_INTERPRET", True)
+    monkeypatch.setattr(skw, "FORCE_INTERPRET", True)
+    monkeypatch.setattr(swk, "FORCE_INTERPRET", True)
+    monkeypatch.setattr(swk, "TILE_MAX_LANES", 1)
+    opt, data, static, state = tall_setup
+    assert static.bed.shape[1] == 1024     # 2 tiles at TILE_MAX_LANES=1
+    shared_na = all(ph.nas == 0 for ph in data.phens)
+
+    outs = {}
+    for name, mega in (("composed", False), ("tiled", "tiled")):
+        s2, _ = gibbs_iteration(
+            state, static, jnp.asarray(2, jnp.int32),
+            block_size=opt.block_size, use_pallas=True,
+            shared_na=shared_na, wave_size=8, megakernel=mega,
+            gram_cached=False if not mega else None)
+        outs[name] = jax.device_get(s2)
+
+    a, b = outs["composed"], outs["tiled"]
+    np.testing.assert_array_equal(np.asarray(b.comp), np.asarray(a.comp))
+    np.testing.assert_array_equal(np.asarray(b.cass), np.asarray(a.cass))
+    np.testing.assert_allclose(np.asarray(b.betas), np.asarray(a.betas),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(b.eps), np.asarray(a.eps),
+                               rtol=1e-3, atol=2e-4)
+
+
+def test_tiled_matches_resident_megakernel(tall_setup, monkeypatch):
+    """Resident vs N-tiled mega-kernel: identical tile accumulation order
+    means BIT-identical state after one iteration."""
+    monkeypatch.setattr(pk, "FORCE_INTERPRET", True)
+    monkeypatch.setattr(skw, "FORCE_INTERPRET", True)
+    monkeypatch.setattr(swk, "FORCE_INTERPRET", True)
+    monkeypatch.setattr(swk, "TILE_MAX_LANES", 1)
+    opt, data, static, state = tall_setup
+    shared_na = all(ph.nas == 0 for ph in data.phens)
+
+    outs = {}
+    for name, mega in (("resident", True), ("tiled", "tiled")):
+        s2, _ = gibbs_iteration(
+            state, static, jnp.asarray(2, jnp.int32),
+            block_size=opt.block_size, use_pallas=True,
+            shared_na=shared_na, wave_size=8, megakernel=mega)
+        outs[name] = jax.device_get(s2)
+
+    a, b = outs["resident"], outs["tiled"]
+    np.testing.assert_array_equal(np.asarray(b.comp), np.asarray(a.comp))
+    np.testing.assert_array_equal(np.asarray(b.betas), np.asarray(a.betas))
+    np.testing.assert_array_equal(np.asarray(b.eps), np.asarray(a.eps))
