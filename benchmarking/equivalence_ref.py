@@ -143,13 +143,14 @@ def multiseed(args):
     """>= 3 seeds at the production cadence (B=128, W=16) plus one W=1
     control; pooled-vs-pooled h2 with tolerances from the across-seed
     spread (per-seed MC error bars), not a fixed 0.03."""
-    iterations = 400 if args.quick else 800
+    iterations = 400 if args.quick else (args.iters or 800)
     thin = 2
     n, m = args.n, args.m
-    n_traits, n_groups, burn = 2, 2, 0.4
+    n_traits, n_groups, burn = args.traits, 2, 0.4
 
     from gmrm_tpu.io.sim import simulate
-    data = "/tmp/gmrm_equiv_data"
+    data = f"/tmp/gmrm_equiv_data_{n}x{m}_{n_traits}" \
+        if (n, m, n_traits) != (2000, 2000, 2) else "/tmp/gmrm_equiv_data"
     sim = simulate(data, n=n, m=m, n_traits=n_traits, n_causal=m // 4,
                    h2=0.5, n_groups=n_groups, na_rate=0.01, seed=20260819,
                    mixtures=np.array([0.0, 0.0001, 0.001, 0.01]))
@@ -173,8 +174,9 @@ def multiseed(args):
     print("# W=1 control done", flush=True)
 
     lines = [
-        "# MCMC equivalence: gmrm_tpu vs compiled reference gmrm "
-        "(multi-seed)",
+        ("## Anchor-scale (multi-seed)" if args.append else
+         "# MCMC equivalence: gmrm_tpu vs compiled reference gmrm "
+         "(multi-seed)"),
         "",
         f"Dataset: N={n} x M={m}, {n_traits} traits, {n_groups} groups, "
         f"1% phenotype NAs, h2=0.5 (realized "
@@ -230,7 +232,10 @@ def multiseed(args):
 
     lines += ["", f"**Overall: {'PASS' if ok else 'FAIL'}**", ""]
     report = "\n".join(lines)
-    with open(os.path.join(HERE, "EQUIVALENCE.md"), "w") as fh:
+    mode = "a" if args.append else "w"
+    with open(os.path.join(HERE, "EQUIVALENCE.md"), mode) as fh:
+        if args.append:
+            fh.write("\n")
         fh.write(report)
     print(report)
     sys.exit(0 if ok else 1)
@@ -248,6 +253,12 @@ def main():
     ap.add_argument("--seeds", type=int, default=0,
                     help=">= 1: multi-seed production-cadence mode "
                          "(writes the multi-seed EQUIVALENCE.md)")
+    ap.add_argument("--traits", type=int, default=2)
+    ap.add_argument("--iters", type=int, default=0,
+                    help="override chain length (multi-seed mode)")
+    ap.add_argument("--append", action="store_true",
+                    help="append a section to EQUIVALENCE.md instead of "
+                         "overwriting (anchor-scale runs)")
     args = ap.parse_args()
     if args.seeds:
         multiseed(args)

@@ -1,0 +1,154 @@
+"""Wave-relaxation validation on LD-STRUCTURED genotypes (ADVICE r3).
+
+Concern: under the block-preserving shuffle, block membership is fixed
+across iterations, so genomically adjacent high-LD markers stay in the
+same block forever and share a wave with probability W/B every iteration
+— concentrating the wave relaxation (same-wave markers are blind to each
+other's moves) exactly on high-LD pairs.  Round-3 equivalence used iid
+(LD-light) genotypes; this driver re-validates on an AR(1)-copula LD
+simulation (io/sim.py ld_rho) where adjacent markers carry real-data-like
+r^2.
+
+Protocol: SEEDS independent chains of the exact serial sampler (W=1 —
+bit-matches the float64 oracle) vs the production wave sampler (W=32,
+block-preserving shuffle, mega-kernel).  Compare posterior means of h2 /
+sigmaG / m0 over the second half of the chain, plus beta posterior-mean
+correlation against the simulated truth.  PASS when the W=32 pooled
+means sit within 3 combined standard errors of W=1 (the same criterion
+as equivalence_ref.py) and the beta recovery is not degraded.
+
+Run on the TPU chip (CPU interpret mode is ~100x slower):
+  python benchmarking/validate_ld.py [--iters 400] [--seeds 3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/gmrm_jax_cache")
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+sys.path.insert(0, REPO)
+
+import numpy as np
+
+N, M, TRAITS = 4000, 2048, 2
+RHO = 0.95
+
+
+def adjacent_r2(sim):
+    from gmrm_tpu.io.bed import read_bed, unpack_codes, decode_planes
+    bed = read_bed(sim.bed, N, M)
+    codes = unpack_codes(bed, 4 * bed.shape[1])
+    a, b = decode_planes(codes)
+    x = (a[:, :N]).astype(np.float64)         # dosage-ish (na-free sim)
+    r = np.array([np.corrcoef(x[j], x[j + 1])[0, 1]
+                  for j in range(0, M - 1, 7)])
+    return float(np.mean(r ** 2))
+
+
+def run_chain(sim, seed, wave, iters):
+    import jax
+    import jax.numpy as jnp
+    from gmrm_tpu.config import Options
+    from gmrm_tpu.runner import (
+        load_data, build_static, init_sampler_state,
+    )
+    from gmrm_tpu.sampler.gibbs import make_gibbs_step
+
+    opt = Options(
+        bed_file=sim.bed, dim_file=sim.dim, phen_files=sim.phens,
+        group_index_file=sim.gri, group_mixture_file=sim.grm,
+        iterations=iters, seed=seed, block_size=128, wave_size=wave,
+        use_pallas=True, output_thin_rate=10 ** 9,
+    )
+    opt.validate()
+    opt.load_group_mixtures()
+    data = load_data(opt)
+    static = build_static(data, opt, jnp.float32)
+    state = init_sampler_state(data, opt, jnp.float32)
+    shared_na = all(ph.nas == 0 for ph in data.phens)
+    step = make_gibbs_step(block_size=128, use_pallas=True, donate=True,
+                           shared_na=shared_na, wave_size=wave)
+    half = iters // 2
+    h2s, sgs, m0s = [], [], []
+    beta_acc = np.zeros((TRAITS, data.m_pad))
+    n_acc = 0
+    for it in range(1, iters + 1):
+        state, aux = step(state, static, jnp.asarray(it, jnp.int32))
+        if it > half and it % 5 == 0:
+            sg = np.asarray(state.sigmag).sum(axis=1)
+            se = np.asarray(state.sigmae)
+            h2s.append(sg / (sg + se))
+            sgs.append(sg)
+            m0s.append(np.asarray(aux.m0).sum(axis=1))
+            beta_acc += np.asarray(state.betas)
+            n_acc += 1
+    jax.block_until_ready(state.sigmae)
+    bcorr = [float(np.corrcoef(beta_acc[t, :M] / n_acc,
+                               sim.beta_true[:, t])[0, 1])
+             for t in range(TRAITS)]
+    return (np.mean(h2s, axis=0), np.mean(sgs, axis=0),
+            np.mean(m0s, axis=0), np.array(bcorr))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=400)
+    ap.add_argument("--seeds", type=int, default=3)
+    args = ap.parse_args()
+
+    from gmrm_tpu.io.sim import simulate
+    tmp = f"/tmp/gmrm_ld_{N}x{M}_{TRAITS}"
+    sim = simulate(tmp, n=N, m=M, n_traits=TRAITS, n_causal=M // 8,
+                   h2=0.5, n_groups=1, na_rate=0.0, seed=20260821,
+                   ld_rho=RHO,
+                   mixtures=np.array([0.0, 0.001, 0.01, 0.1]))
+    r2 = adjacent_r2(sim)
+    print(f"# adjacent-marker mean r^2 = {r2:.3f} (rho={RHO})",
+          file=sys.stderr, flush=True)
+
+    res = {1: [], 32: []}
+    t0 = time.perf_counter()
+    for seed in range(1, args.seeds + 1):
+        for wave in (1, 32):
+            res[wave].append(run_chain(sim, seed, wave, args.iters))
+            print(f"# seed {seed} W={wave}: h2 = "
+                  f"{np.round(res[wave][-1][0], 4)}  bcorr = "
+                  f"{np.round(res[wave][-1][3], 3)} "
+                  f"({time.perf_counter()-t0:.0f}s)",
+                  file=sys.stderr, flush=True)
+
+    report = {"adjacent_r2": round(r2, 3), "iters": args.iters,
+              "seeds": args.seeds, "metrics": {}}
+    ok = True
+    for name, idx in (("h2", 0), ("sigmag", 1), ("m0", 2)):
+        a = np.stack([r[idx] for r in res[1]])     # (seeds, T)
+        b = np.stack([r[idx] for r in res[32]])
+        se = np.sqrt(a.std(0, ddof=1) ** 2 / len(a)
+                     + b.std(0, ddof=1) ** 2 / len(b))
+        diff = np.abs(a.mean(0) - b.mean(0))
+        z = diff / np.maximum(se, 1e-12)
+        ok &= bool(np.all(z < 3.0))
+        report["metrics"][name] = {
+            "w1_mean": np.round(a.mean(0), 4).tolist(),
+            "w32_mean": np.round(b.mean(0), 4).tolist(),
+            "z": np.round(z, 2).tolist(),
+        }
+    bc1 = np.stack([r[3] for r in res[1]]).mean(0)
+    bc32 = np.stack([r[3] for r in res[32]]).mean(0)
+    report["metrics"]["beta_corr"] = {
+        "w1_mean": np.round(bc1, 3).tolist(),
+        "w32_mean": np.round(bc32, 3).tolist(),
+    }
+    ok &= bool(np.all(bc32 > bc1 - 0.02))
+    report["pass"] = ok
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()

@@ -45,7 +45,14 @@ def simulate(
     na_rate: float = 0.0,
     seed: int = 171014,
     prefix: str = "test",
+    ld_rho: float = 0.0,
 ) -> SimResult:
+    """``ld_rho`` > 0 generates LD-STRUCTURED genotypes instead of iid:
+    each individual's two haplotypes follow a Gaussian-copula AR(1) chain
+    across markers (latent z_j = rho z_{j-1} + sqrt(1-rho^2) e_j,
+    allele = z < Phi^{-1}(maf)), giving genomically adjacent markers the
+    high pairwise r^2 real data has — the stress case for the wave
+    relaxation (same-wave markers are blind to each other's moves)."""
     rng = np.random.default_rng(seed)
     os.makedirs(out_dir, exist_ok=True)
     if n_causal is None:
@@ -54,10 +61,25 @@ def simulate(
     paths = {}
     bed_path = os.path.join(out_dir, f"{prefix}.bed")
 
+    if ld_rho > 0.0 and m * n > 200_000_000:
+        raise NotImplementedError("ld_rho requires the in-memory path")
+
     if m * n <= 200_000_000:
         # Genotype codes on the dosage scale {0,1,2}; bed code mapping:
         # dosage 2 -> code 0, dosage 1 -> code 2, dosage 0 -> code 3.
-        dosage = rng.binomial(2, maf, size=(m, n)).astype(np.uint8)
+        if ld_rho > 0.0:
+            from statistics import NormalDist
+            thresh = NormalDist().inv_cdf(maf)
+            rr = np.sqrt(1.0 - ld_rho * ld_rho)
+            hap = np.empty((2, n, m), np.uint8)
+            z = rng.normal(size=(2, n))
+            hap[:, :, 0] = z < thresh
+            for j in range(1, m):
+                z = ld_rho * z + rr * rng.normal(size=(2, n))
+                hap[:, :, j] = z < thresh
+            dosage = hap.sum(axis=0).T.astype(np.uint8)   # (M, N)
+        else:
+            dosage = rng.binomial(2, maf, size=(m, n)).astype(np.uint8)
         code = np.where(dosage == 2, 0,
                         np.where(dosage == 1, 2, 3)).astype(np.uint8)
 
