@@ -97,26 +97,111 @@ def vmem_fits(n_traits: int, block_size: int, mb_pad: int,
             < budget_bytes)
 
 
+def _split3(x):
+    """Exact 3-way bf16 Dekker split of f32: x == b0 + b1 + b2 with each
+    b_i bf16 (8+8+8 mantissa bits cover f32's 24)."""
+    b0 = x.astype(_BF16)
+    r1 = x - b0.astype(_F32)
+    b1 = r1.astype(_BF16)
+    r2 = r1 - b1.astype(_F32)
+    return b0, b1, r2.astype(_BF16)
+
+
+def _permute_cols_f32(x, pm, forward):
+    """EXACT column permute of arbitrary f32 (T, B) on the MXU: one-hot
+    bf16 dots copy values exactly, and the 3-digit split makes the f32
+    payload exact too (each output element is b0+b1+b2 of one input —
+    representable, so the f32 adds round to it exactly).
+    forward: y[:, i] = x[:, win[i]] (natural -> processing);
+    else the inverse scatter y[:, win[i]] = x[:, i]."""
+    dims = ((((1,), (1,)), ((), ())) if forward
+            else (((1,), (0,)), ((), ())))
+    acc = None
+    for d in _split3(x):
+        r = jax.lax.dot_general(d, pm, dims, preferred_element_type=_F32)
+        acc = r if acc is None else acc + r
+    return acc
+
+
+def _permute_cols_small(x, pm, forward):
+    """Column permute for small non-negative integers (< 256: group ids,
+    component ids) — a single exact bf16 one-hot dot."""
+    dims = ((((1,), (1,)), ((), ())) if forward
+            else (((1,), (0,)), ((), ())))
+    return jax.lax.dot_general(x.astype(jnp.int32).astype(_BF16), pm, dims,
+                               preferred_element_type=_F32)
+
+
 def _block_scan_phase(
-    win_ref, gfull_ref, mave_ref, msig_ref,
-    beta_old_ref, comp_old_ref, acum_old_ref, u_ref, z_ref,
-    live_ref, zerob_ref, lc_ref, rd_ref, sqb_ref, i2se_ref, nonas_ref,
-    dbeta_ref, beta_new_ref, comp_new_ref, acum_new_ref,
+    blk_b, mloc,                 # traced scalars: natural block id, m_local
+    perm_mat,                    # (B, B) bf16 one-hot row permute (value)
+    gfull_ref,                   # (1, NT, 2B, 2B) f32 cached raw Gram
+    mave_ref, msig_ref,          # (1, T, B) f32, NATURAL row order
+    beta_old_ref,                # (1, T, B) f32 natural
+    comp_old_ref,                # (1, T, B) i32 natural
+    acum_old_ref,                # (1, T, B) f32 natural
+    grp_ref,                     # (1, 1, B) i32 natural
+    u_ref, z_ref,                # (1, T, B) f32, processing order
+    sigmag_ref,                  # (T, G) f32
+    lc_ref, rd_ref, sqb_ref,     # (K, T, G) f32 GROUP-level scan tables
+    i2se_ref, nonas_ref,         # (T, 1) f32
+    beta_new_ref, comp_new_ref, acum_new_ref,   # (1, T, B) natural outs
     gfull_s, cab_s, gs_s, corr_s, dbeta_s,
     *, n_mix, n_traits, wave, shared_na, skip,
 ):
-    """Phases shared by the resident and N-tiled mega-kernels: permute the
-    cached Gram to processing order, finalize c/base and the wave-stacked
-    scaled Gram from the accumulated ``cab_s``, then run the wave scan.
-    Extracted verbatim so both kernels stay bit-identical."""
+    """Per-block compute shared by the resident and N-tiled mega-kernels.
+
+    Round-4 restructure: all per-marker prep that was previously built in
+    XLA every iteration (processing-order permutes of 7 operand streams,
+    the (nblocks, K, T, B) lc/rd/sqb tables, live/zerob masks, and the
+    output unpermute) now happens HERE from natural-order operands and
+    K x T x G group tables — tables depend only on (group,
+    hyperparameters), so per-marker values are exact COPIES selected by
+    group id, and the permutes are exact one-hot MXU dots
+    (_permute_cols_f32).  Everything stays bit-identical to the composed
+    path.  Returns (mave_p, msig_p) in processing order for the residual
+    update phase.
+    """
     T = n_traits
-    B = win_ref.shape[2]
+    B = mave_ref.shape[2]
     K = n_mix
     W = wave
     TW = T * W
     nwaves = B // W
+    Gn = sigmag_ref.shape[1]
 
-    # Permute the cached natural-order Gram to processing order:
+    # ---- processing-order operands (exact in-kernel permutes) -----------
+    mave = _permute_cols_f32(mave_ref[0], perm_mat, True)       # (T, B)
+    msig = _permute_cols_f32(msig_ref[0], perm_mat, True)
+    beta_old = _permute_cols_f32(beta_old_ref[0], perm_mat, True)
+    comp_old = _permute_cols_small(comp_old_ref[0], perm_mat,
+                                   True).astype(jnp.int32)
+    acum_old = _permute_cols_f32(acum_old_ref[0], perm_mat, True)
+    grp_f = _permute_cols_small(grp_ref[0], perm_mat, True)     # (1, B) f32
+
+    # processing row i is natural marker blk_b*B + win[i]; win[i] is
+    # recoverable from the permute matrix: win = P @ iota.
+    iota_b = jax.lax.broadcasted_iota(jnp.int32, (1, B), 1).astype(_BF16)
+    win_f = jax.lax.dot_general(iota_b, perm_mat, (((1,), (1,)), ((), ())),
+                                preferred_element_type=_F32)    # (1, B)
+    valid = ((blk_b * B).astype(_F32) + win_f) < mloc.astype(_F32)  # (1, B)
+
+    # ---- group-table selection (exact copies; adav = sigmag == 0) ------
+    def select_g(tab2):          # (T, G) -> (T, B) by grp
+        acc = jnp.broadcast_to(tab2[:, 0:1], (T, B))
+        for g in range(1, Gn):
+            acc = jnp.where(grp_f == float(g), tab2[:, g:g + 1], acc)
+        return acc
+
+    sg_sel = select_g(sigmag_ref[...])
+    adav = sg_sel == 0.0
+    live = valid & (~adav)                                      # (T, B)
+    zerob = valid & adav
+    lc_m = [select_g(lc_ref[k]) for k in range(K)]
+    rd_m = [select_g(rd_ref[k]) for k in range(K)]
+    sqb_m = [select_g(sqb_ref[k]) for k in range(K)]
+
+    # ---- permute the cached natural-order Gram to processing order ------
     # G_perm = P2 G P2^T with P2 = blockdiag(P, P) one-hot.  MXU f32 dots
     # are NOT exact on device (bf16-multipass rounding — the on-device
     # agreement gate caught this), but one-hot bf16 dots with f32
@@ -128,9 +213,10 @@ def _block_scan_phase(
     if "gramperm" in skip:
         for t in range(NT):
             gfull_s[t] = gfull_ref[0, t]
-    win2 = jnp.concatenate([win_ref[0], win_ref[0] + B], axis=1)  # (1, 2B)
-    p2 = (jax.lax.broadcasted_iota(jnp.int32, (2 * B, 2 * B), 1)
-          == jnp.transpose(win2)).astype(_BF16)
+    zb = jnp.zeros((B, B), _BF16)
+    p2 = jnp.concatenate(
+        [jnp.concatenate([perm_mat, zb], axis=1),
+         jnp.concatenate([zb, perm_mat], axis=1)], axis=0)      # (2B, 2B)
     for t in ([] if "gramperm" in skip else range(NT)):
         gf = gfull_ref[0, t]
         d2 = jnp.floor(gf * (1.0 / 65536.0))
@@ -149,13 +235,11 @@ def _block_scan_phase(
         gfull_s[t] = acc
 
     # ---- finalize c, base and the wave-stacked scaled Gram --------------
-    mave = mave_ref[0]                                    # (T, B)
-    msig = msig_ref[0]
     cab = cab_s[...]
     csum = cab[:T] + cab[T:]                              # (T, 2B)
     craw = csum[:, :B] - mave * csum[:, B:]
     c = msig * craw                                       # (T, B)
-    base = c + beta_old_ref[0] * (nonas_ref[...] - 1.0)   # (T, B)
+    base = c + beta_old * (nonas_ref[...] - 1.0)          # (T, B)
 
     for t in range(T):
         gf = gfull_s[0 if shared_na else t]               # (2B, 2B)
@@ -182,18 +266,26 @@ def _block_scan_phase(
         == jax.lax.broadcasted_iota(jnp.int32, (T, TW), 0)
     )
 
-    for w in ([] if "scan" in skip else range(nwaves)):
+    if "scan" in skip:
+        dbeta_s[...] = jnp.zeros(dbeta_s.shape, _F32)
+        beta_new_ref[0] = beta_old_ref[0]
+        comp_new_ref[0] = comp_old_ref[0]
+        acum_new_ref[0] = acum_old_ref[0]
+        return mave, msig
+
+    parts_beta, parts_comp, parts_acum = [], [], []
+    for w in range(nwaves):
         s = slice(w * W, (w + 1) * W)
-        live = live_ref[0][:, s] != 0
-        zerob = zerob_ref[0][:, s] != 0
-        beta_old = beta_old_ref[0][:, s]
+        live_w = live[:, s]
+        zerob_w = zerob[:, s]
+        beta_old_w = beta_old[:, s]
 
         num = base[:, s] + corr_s[:, s]
         q = num * num * i2se
         # E/S formulation (see ops/scan_kernel_wave.py): L_k = lc_k +
         # q*rd_k; sarr_i = E_i/S with E_k = exp(L_k - Lmax); the 700
         # pair guard becomes a suffix max/min test.
-        L = [lc_ref[0, k][:, s] + q * rd_ref[0, k][:, s] for k in range(K)]
+        L = [lc_m[k][:, s] + q * rd_m[k][:, s] for k in range(K)]
         lmax = L[0]
         for k in range(1, K):
             lmax = jnp.maximum(lmax, L[k])
@@ -223,25 +315,24 @@ def _block_scan_phase(
         for i in range(K - 1, -1, -1):
             comp = jnp.where(u <= cdf[i], i, comp)
         acum_sel = cdf[K - 1]
-        muk_sel = num * rd_ref[0][K - 1][:, s]
-        sqb_sel = sqb_ref[0][K - 1][:, s]
+        muk_sel = num * rd_m[K - 1][:, s]
+        sqb_sel = sqb_m[K - 1][:, s]
         for i in range(K - 2, -1, -1):
             is_i = comp == i
             acum_sel = jnp.where(is_i, cdf[i], acum_sel)
-            muk_sel = jnp.where(is_i, num * rd_ref[0][i][:, s], muk_sel)
-            sqb_sel = jnp.where(is_i, sqb_ref[0][i][:, s], sqb_sel)
+            muk_sel = jnp.where(is_i, num * rd_m[i][:, s], muk_sel)
+            sqb_sel = jnp.where(is_i, sqb_m[i][:, s], sqb_sel)
 
         beta_samp = jnp.where(comp == 0, 0.0,
                               muk_sel + sqb_sel * z_ref[0][:, s])
-        dbeta = jnp.where(live, beta_old - beta_samp, 0.0)
+        dbeta = jnp.where(live_w, beta_old_w - beta_samp, 0.0)
 
         dbeta_s[:, s] = dbeta
-        dbeta_ref[0, :, s] = dbeta
-        beta_new_ref[0, :, s] = jnp.where(
-            live, beta_samp, jnp.where(zerob, 0.0, beta_old))
-        comp_new_ref[0, :, s] = jnp.where(live, comp, comp_old_ref[0, :, s])
-        acum_new_ref[0, :, s] = jnp.where(
-            live, acum_sel, jnp.where(zerob, 1.0, acum_old_ref[0, :, s]))
+        parts_beta.append(jnp.where(
+            live_w, beta_samp, jnp.where(zerob_w, 0.0, beta_old_w)))
+        parts_comp.append(jnp.where(live_w, comp, comp_old[:, s]))
+        parts_acum.append(jnp.where(
+            live_w, acum_sel, jnp.where(zerob_w, 1.0, acum_old[:, s])))
 
         @pl.when(jnp.any(dbeta != 0.0))
         def _():
@@ -252,17 +343,21 @@ def _block_scan_phase(
                 m_blk, G, (((1,), (0,)), ((), ())),
                 preferred_element_type=_F32)
 
-    if "scan" in skip:
-        dbeta_s[...] = jnp.zeros(dbeta_s.shape, _F32)
-        dbeta_ref[...] = jnp.zeros(dbeta_ref.shape, _F32)
-        beta_new_ref[...] = beta_old_ref[...]
-        comp_new_ref[...] = comp_old_ref[...]
-        acum_new_ref[...] = acum_old_ref[...]
+    # ---- outputs back to NATURAL order (exact inverse permute) ----------
+    beta_new_p = jnp.concatenate(parts_beta, axis=1)      # (T, B) proc
+    comp_new_p = jnp.concatenate(parts_comp, axis=1)
+    acum_new_p = jnp.concatenate(parts_acum, axis=1)
+    beta_new_ref[0] = _permute_cols_f32(beta_new_p, perm_mat, False)
+    comp_new_ref[0] = _permute_cols_small(
+        comp_new_p, perm_mat, False).astype(jnp.int32)
+    acum_new_ref[0] = _permute_cols_f32(acum_new_p, perm_mat, False)
+    return mave, msig
 
 
 def _sweep_kernel(
     blkidx_ref,      # (nblocks,) i32 scalar-prefetch: processing step b
                      # reads natural bed block blkidx[b] (index maps only)
+    mloc_ref,        # (1,) i32 scalar-prefetch: real local marker count
     # inputs (per grid step b unless noted)
     bed_ref,         # (B, mb_pad) u8 — natural block blkidx[b]
     win_ref,         # (1, 1, B) i32: within-block shuffle, processing
@@ -271,25 +366,24 @@ def _sweep_kernel(
                      # of natural block blkidx[b] (build_gram_cache)
     eps0_ref,        # (T, 4, mb_pad) f32   [grid-constant]
     na_ref,          # (NT, 4, mb_pad) f32  [grid-constant; NT=1 if shared]
-    mave_ref,        # (1, T, B) f32
-    msig_ref,        # (1, T, B) f32
-    beta_old_ref,    # (1, T, B) f32
-    comp_old_ref,    # (1, T, B) i32
-    acum_old_ref,    # (1, T, B) f32
-    u_ref, z_ref,    # (1, T, B) f32
-    live_ref,        # (1, T, B) i32
-    zerob_ref,       # (1, T, B) i32
-    lc_ref,          # (1, K, T, B) f32
-    rd_ref,          # (1, K, T, B) f32
-    sqb_ref,         # (1, K, T, B) f32
+    mave_ref,        # (1, T, B) f32 — NATURAL block blkidx[b]
+    msig_ref,        # (1, T, B) f32 natural
+    beta_old_ref,    # (1, T, B) f32 natural
+    comp_old_ref,    # (1, T, B) i32 natural
+    acum_old_ref,    # (1, T, B) f32 natural
+    grp_ref,         # (1, 1, B) i32 natural group ids
+    u_ref, z_ref,    # (1, T, B) f32, processing order
+    sigmag_ref,      # (T, G) f32
+    lc_ref,          # (K, T, G) f32 group-level scan tables
+    rd_ref,          # (K, T, G) f32
+    sqb_ref,         # (K, T, G) f32
     i2se_ref,        # (T, 1) f32           [grid-constant]
     nonas_ref,       # (T, 1) f32           [grid-constant]
     # outputs
     eps_out_ref,     # (T, 4, mb_pad) f32   [written at last step]
-    dbeta_ref,       # (1, T, B) f32
-    beta_new_ref,    # (1, T, B) f32
-    comp_new_ref,    # (1, T, B) i32
-    acum_new_ref,    # (1, T, B) f32
+    beta_new_ref,    # (1, T, B) f32 — NATURAL block blkidx[b]
+    comp_new_ref,    # (1, T, B) i32 natural
+    acum_new_ref,    # (1, T, B) f32 natural
     # scratch
     bedp_s,          # (B, mb_pad) bf16: within-block-permuted packed bytes
     eps_s,           # (T, 4, mb_pad) f32
@@ -308,8 +402,6 @@ def _sweep_kernel(
     mb_pad = bed_ref.shape[1]
     K = n_mix
     W = wave
-    TW = T * W
-    nwaves = B // W
     TN = _LANES
     ntiles = mb_pad // TN
 
@@ -362,20 +454,19 @@ def _sweep_kernel(
     if "cab" not in skip:
         jax.lax.fori_loop(0, ntiles, cab_tile, 0)
 
-    # ---- phase 2: Gram permute + finalize + wave scan (shared) ----------
-    _block_scan_phase(
-        win_ref, gfull_ref, mave_ref, msig_ref,
-        beta_old_ref, comp_old_ref, acum_old_ref, u_ref, z_ref,
-        live_ref, zerob_ref, lc_ref, rd_ref, sqb_ref, i2se_ref, nonas_ref,
-        dbeta_ref, beta_new_ref, comp_new_ref, acum_new_ref,
+    # ---- phase 2: prep + Gram permute + finalize + wave scan (shared) ---
+    mave_p, msig_p = _block_scan_phase(
+        blkidx_ref[b], mloc_ref[0], perm_mat,
+        gfull_ref, mave_ref, msig_ref,
+        beta_old_ref, comp_old_ref, acum_old_ref, grp_ref, u_ref, z_ref,
+        sigmag_ref, lc_ref, rd_ref, sqb_ref, i2se_ref, nonas_ref,
+        beta_new_ref, comp_new_ref, acum_new_ref,
         gfull_s, cab_s, gs_s, corr_s, dbeta_s,
         n_mix=K, n_traits=T, wave=W, shared_na=shared_na, skip=skip)
 
     # ---- phase 3: fused decode + residual update ------------------------
-    mave = mave_ref[0]                                    # (T, B)
-    msig = msig_ref[0]
-    dscaled = msig * dbeta_s[...]                         # (T, B)
-    lhs = jnp.concatenate([dscaled, -(mave * dscaled)], axis=1)  # (T, 2B)
+    dscaled = msig_p * dbeta_s[...]                       # (T, B)
+    lhs = jnp.concatenate([dscaled, -(mave_p * dscaled)], axis=1)  # (T, 2B)
     hi = lhs.astype(_BF16)
     lo = (lhs - hi.astype(_F32)).astype(_BF16)
     lhs2 = jnp.concatenate([hi, lo], axis=0)              # (2T, 2B)
@@ -408,7 +499,7 @@ def _sweep_kernel(
 
 
 @functools.lru_cache(maxsize=None)
-def _build_sweep_call(nblocks, B, mb_pad, T, K, W, shared_na, interpret,
+def _build_sweep_call(nblocks, B, mb_pad, T, K, W, G, shared_na, interpret,
                       skip=frozenset()):
     NT = 1 if shared_na else T
     kern = functools.partial(_sweep_kernel, n_mix=K, n_traits=T, wave=W,
@@ -416,37 +507,35 @@ def _build_sweep_call(nblocks, B, mb_pad, T, K, W, shared_na, interpret,
     in_specs = [
         # bed stays in natural order in HBM; processing step b DMAs
         # natural block blkidx[b] (the scalar-prefetched block order).
-        pl.BlockSpec((B, mb_pad), lambda b, blk: (blk[b], 0)),     # bed
-        pl.BlockSpec((1, 1, B), lambda b, blk: (b, 0, 0)),         # win
+        pl.BlockSpec((B, mb_pad), lambda b, blk, ml: (blk[b], 0)),  # bed
+        pl.BlockSpec((1, 1, B), lambda b, blk, ml: (b, 0, 0)),      # win
         pl.BlockSpec((1, NT, 2 * B, 2 * B),
-                     lambda b, blk: (blk[b], 0, 0, 0)),            # gfull
-        pl.BlockSpec((T, 4, mb_pad), lambda b, blk: (0, 0, 0)),    # eps0
-        pl.BlockSpec((NT, 4, mb_pad), lambda b, blk: (0, 0, 0)),   # na
-        pl.BlockSpec((1, T, B), lambda b, blk: (b, 0, 0)),         # mave
-        pl.BlockSpec((1, T, B), lambda b, blk: (b, 0, 0)),         # msig
-        pl.BlockSpec((1, T, B), lambda b, blk: (b, 0, 0)),         # beta_old
-        pl.BlockSpec((1, T, B), lambda b, blk: (b, 0, 0)),         # comp_old
-        pl.BlockSpec((1, T, B), lambda b, blk: (b, 0, 0)),         # acum_old
-        pl.BlockSpec((1, T, B), lambda b, blk: (b, 0, 0)),         # u
-        pl.BlockSpec((1, T, B), lambda b, blk: (b, 0, 0)),         # z
-        pl.BlockSpec((1, T, B), lambda b, blk: (b, 0, 0)),         # live
-        pl.BlockSpec((1, T, B), lambda b, blk: (b, 0, 0)),         # zerob
-        pl.BlockSpec((1, K, T, B), lambda b, blk: (b, 0, 0, 0)),   # lc
-        pl.BlockSpec((1, K, T, B), lambda b, blk: (b, 0, 0, 0)),   # rd
-        pl.BlockSpec((1, K, T, B), lambda b, blk: (b, 0, 0, 0)),   # sqb
-        pl.BlockSpec((T, 1), lambda b, blk: (0, 0)),               # i2se
-        pl.BlockSpec((T, 1), lambda b, blk: (0, 0)),               # nonas
+                     lambda b, blk, ml: (blk[b], 0, 0, 0)),         # gfull
+        pl.BlockSpec((T, 4, mb_pad), lambda b, blk, ml: (0, 0, 0)),  # eps0
+        pl.BlockSpec((NT, 4, mb_pad), lambda b, blk, ml: (0, 0, 0)),  # na
+        pl.BlockSpec((1, T, B), lambda b, blk, ml: (blk[b], 0, 0)),  # mave
+        pl.BlockSpec((1, T, B), lambda b, blk, ml: (blk[b], 0, 0)),  # msig
+        pl.BlockSpec((1, T, B), lambda b, blk, ml: (blk[b], 0, 0)),  # beta
+        pl.BlockSpec((1, T, B), lambda b, blk, ml: (blk[b], 0, 0)),  # comp
+        pl.BlockSpec((1, T, B), lambda b, blk, ml: (blk[b], 0, 0)),  # acum
+        pl.BlockSpec((1, 1, B), lambda b, blk, ml: (blk[b], 0, 0)),  # grp
+        pl.BlockSpec((1, T, B), lambda b, blk, ml: (b, 0, 0)),      # u
+        pl.BlockSpec((1, T, B), lambda b, blk, ml: (b, 0, 0)),      # z
+        pl.BlockSpec((T, G), lambda b, blk, ml: (0, 0)),            # sigmag
+        pl.BlockSpec((K, T, G), lambda b, blk, ml: (0, 0, 0)),      # lc
+        pl.BlockSpec((K, T, G), lambda b, blk, ml: (0, 0, 0)),      # rd
+        pl.BlockSpec((K, T, G), lambda b, blk, ml: (0, 0, 0)),      # sqb
+        pl.BlockSpec((T, 1), lambda b, blk, ml: (0, 0)),            # i2se
+        pl.BlockSpec((T, 1), lambda b, blk, ml: (0, 0)),            # nonas
     ]
     out_specs = [
-        pl.BlockSpec((T, 4, mb_pad), lambda b, blk: (0, 0, 0)),    # eps_out
-        pl.BlockSpec((1, T, B), lambda b, blk: (b, 0, 0)),         # dbeta
-        pl.BlockSpec((1, T, B), lambda b, blk: (b, 0, 0)),         # beta_new
-        pl.BlockSpec((1, T, B), lambda b, blk: (b, 0, 0)),         # comp_new
-        pl.BlockSpec((1, T, B), lambda b, blk: (b, 0, 0)),         # acum_new
+        pl.BlockSpec((T, 4, mb_pad), lambda b, blk, ml: (0, 0, 0)),
+        pl.BlockSpec((1, T, B), lambda b, blk, ml: (blk[b], 0, 0)),
+        pl.BlockSpec((1, T, B), lambda b, blk, ml: (blk[b], 0, 0)),
+        pl.BlockSpec((1, T, B), lambda b, blk, ml: (blk[b], 0, 0)),
     ]
     out_shape = [
         jax.ShapeDtypeStruct((T, 4, mb_pad), _F32),
-        jax.ShapeDtypeStruct((nblocks, T, B), _F32),
         jax.ShapeDtypeStruct((nblocks, T, B), _F32),
         jax.ShapeDtypeStruct((nblocks, T, B), jnp.int32),
         jax.ShapeDtypeStruct((nblocks, T, B), _F32),
@@ -461,7 +550,7 @@ def _build_sweep_call(nblocks, B, mb_pad, T, K, W, shared_na, interpret,
         pltpu.VMEM((T, B), _F32),                               # dbeta
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(nblocks,),
         in_specs=in_specs, out_specs=out_specs, scratch_shapes=scratch,
     )
@@ -472,31 +561,31 @@ def _build_sweep_call(nblocks, B, mb_pad, T, K, W, shared_na, interpret,
 
 def _sweep_kernel_tiled(
     blkidx_ref,      # (nblocks,) i32 scalar-prefetch
+    mloc_ref,        # (1,) i32 scalar-prefetch
     # inputs (grid step (b, pass, j))
     bed_ref,         # (B, TJ) u8 — lane tile j of natural block blkidx[b]
     win_ref,         # (1, 1, B) i32
     gfull_ref,       # (1, NT, 2B, 2B) f32
     eps0_ref,        # (T, 4, TJ) f32 — tile j at (b=0, pass=0), parked else
     na_ref,          # (NT, 4, TJ) f32 — tile j in pass 1, parked else
-    mave_ref,        # (1, T, B) f32
-    msig_ref,        # (1, T, B) f32
-    beta_old_ref,    # (1, T, B) f32
-    comp_old_ref,    # (1, T, B) i32
-    acum_old_ref,    # (1, T, B) f32
-    u_ref, z_ref,    # (1, T, B) f32
-    live_ref,        # (1, T, B) i32
-    zerob_ref,       # (1, T, B) i32
-    lc_ref,          # (1, K, T, B) f32
-    rd_ref,          # (1, K, T, B) f32
-    sqb_ref,         # (1, K, T, B) f32
+    mave_ref,        # (1, T, B) f32, NATURAL block blkidx[b]
+    msig_ref,        # (1, T, B) f32 natural
+    beta_old_ref,    # (1, T, B) f32 natural
+    comp_old_ref,    # (1, T, B) i32 natural
+    acum_old_ref,    # (1, T, B) f32 natural
+    grp_ref,         # (1, 1, B) i32 natural
+    u_ref, z_ref,    # (1, T, B) f32, processing order
+    sigmag_ref,      # (T, G) f32
+    lc_ref,          # (K, T, G) f32
+    rd_ref,          # (K, T, G) f32
+    sqb_ref,         # (K, T, G) f32
     i2se_ref,        # (T, 1) f32
     nonas_ref,       # (T, 1) f32
     # outputs
     eps_out_ref,     # (T, 4, TJ) f32 — tile j at (b=nb-1, pass=1)
-    dbeta_ref,       # (1, T, B) f32
-    beta_new_ref,    # (1, T, B) f32
-    comp_new_ref,    # (1, T, B) i32
-    acum_new_ref,    # (1, T, B) f32
+    beta_new_ref,    # (1, T, B) f32 natural
+    comp_new_ref,    # (1, T, B) i32 natural
+    acum_new_ref,    # (1, T, B) f32 natural
     # scratch
     bedp_s,          # (B, TJ) bf16: permuted tile
     eps_s,           # (T, 4, mb_pad) f32 — whole residual, persistent
@@ -505,6 +594,7 @@ def _sweep_kernel_tiled(
     gs_s,            # (T*B, B) f32
     corr_s,          # (T, B) f32
     dbeta_s,         # (T, B) f32
+    lhs_s,           # (T, 2B) f32: update operand from the scan step
     *, n_mix: int, n_traits: int, wave: int, shared_na: bool,
     skip=frozenset(),
 ):
@@ -516,10 +606,10 @@ def _sweep_kernel_tiled(
 
     Per block b: pass 0 streams bed tiles accumulating the residual dot
     products (same _LANES subtile order as the resident kernel — results
-    are bit-identical); at (pass 1, tile 0) the shared Gram-permute +
-    finalize + wave-scan phase runs; pass 1 then re-streams the bed tiles
-    applying the rank-W residual update to ``eps_s``.  The bed is read
-    twice per block (vs once resident) — the price of O(TJ) residency.
+    are bit-identical); at (pass 1, tile 0) the shared prep + Gram-permute
+    + wave-scan phase runs; pass 1 then re-streams the bed tiles applying
+    the rank-W residual update to ``eps_s``.  The bed is read twice per
+    block (vs once resident) — the price of O(TJ) residency.
     """
     b = pl.program_id(0)
     p = pl.program_id(1)
@@ -577,25 +667,26 @@ def _sweep_kernel_tiled(
         if "cab" not in skip:
             jax.lax.fori_loop(0, ntiles, cab_tile, 0)
 
-    # ---- (pass 1, tile 0): Gram permute + finalize + wave scan ----------
+    # ---- (pass 1, tile 0): prep + Gram permute + wave scan --------------
     @pl.when((p == 1) & (j == 0))
     def _():
-        _block_scan_phase(
-            win_ref, gfull_ref, mave_ref, msig_ref,
-            beta_old_ref, comp_old_ref, acum_old_ref, u_ref, z_ref,
-            live_ref, zerob_ref, lc_ref, rd_ref, sqb_ref, i2se_ref,
+        mave_p, msig_p = _block_scan_phase(
+            blkidx_ref[b], mloc_ref[0], perm_mat,
+            gfull_ref, mave_ref, msig_ref,
+            beta_old_ref, comp_old_ref, acum_old_ref, grp_ref, u_ref,
+            z_ref, sigmag_ref, lc_ref, rd_ref, sqb_ref, i2se_ref,
             nonas_ref,
-            dbeta_ref, beta_new_ref, comp_new_ref, acum_new_ref,
+            beta_new_ref, comp_new_ref, acum_new_ref,
             gfull_s, cab_s, gs_s, corr_s, dbeta_s,
             n_mix=K, n_traits=T, wave=W, shared_na=shared_na, skip=skip)
+        dscaled = msig_p * dbeta_s[...]                   # (T, B)
+        lhs_s[...] = jnp.concatenate(
+            [dscaled, -(mave_p * dscaled)], axis=1)       # (T, 2B)
 
     # ---- pass 1: apply the rank-W residual update to this tile ----------
     @pl.when(p == 1)
     def _():
-        mave = mave_ref[0]
-        msig = msig_ref[0]
-        dscaled = msig * dbeta_s[...]                     # (T, B)
-        lhs = jnp.concatenate([dscaled, -(mave * dscaled)], axis=1)
+        lhs = lhs_s[...]
         hi = lhs.astype(_BF16)
         lo = (lhs - hi.astype(_F32)).astype(_BF16)
         lhs2 = jnp.concatenate([hi, lo], axis=0)          # (2T, 2B)
@@ -628,7 +719,7 @@ def _sweep_kernel_tiled(
 
 
 @functools.lru_cache(maxsize=None)
-def _build_sweep_call_tiled(nblocks, B, mb_pad, T, K, W, shared_na,
+def _build_sweep_call_tiled(nblocks, B, mb_pad, T, K, W, G, shared_na,
                             interpret, skip=frozenset(), tj=0):
     NT = 1 if shared_na else T
     TJ = tj or pick_lane_tile(mb_pad)
@@ -637,49 +728,49 @@ def _build_sweep_call_tiled(nblocks, B, mb_pad, T, K, W, shared_na,
                              wave=W, shared_na=shared_na, skip=skip)
     nb = nblocks
 
-    def park_eps0(b, p, j, blk):
+    def park_eps0(b, p, j, blk, ml):
         return (0, 0, jnp.where((b == 0) & (p == 0), j, 0))
 
-    def park_na(b, p, j, blk):
+    def park_na(b, p, j, blk, ml):
         return (0, 0, jnp.where(p == 1, j, 0))
 
-    def park_eps_out(b, p, j, blk):
+    def park_eps_out(b, p, j, blk, ml):
         return (0, 0, jnp.where((b == nb - 1) & (p == 1), j, 0))
 
-    blockwise = lambda b, p, j, blk: (b, 0, 0)        # noqa: E731
-    blockwise4 = lambda b, p, j, blk: (b, 0, 0, 0)    # noqa: E731
+    natural = lambda b, p, j, blk, ml: (blk[b], 0, 0)    # noqa: E731
+    blockwise = lambda b, p, j, blk, ml: (b, 0, 0)       # noqa: E731
+    grid_const2 = lambda b, p, j, blk, ml: (0, 0)        # noqa: E731
+    grid_const3 = lambda b, p, j, blk, ml: (0, 0, 0)     # noqa: E731
     in_specs = [
-        pl.BlockSpec((B, TJ), lambda b, p, j, blk: (blk[b], j)),   # bed
+        pl.BlockSpec((B, TJ), lambda b, p, j, blk, ml: (blk[b], j)),  # bed
         pl.BlockSpec((1, 1, B), blockwise),                        # win
         pl.BlockSpec((1, NT, 2 * B, 2 * B),
-                     lambda b, p, j, blk: (blk[b], 0, 0, 0)),      # gfull
+                     lambda b, p, j, blk, ml: (blk[b], 0, 0, 0)),  # gfull
         pl.BlockSpec((T, 4, TJ), park_eps0),                       # eps0
         pl.BlockSpec((NT, 4, TJ), park_na),                        # na
-        pl.BlockSpec((1, T, B), blockwise),                        # mave
-        pl.BlockSpec((1, T, B), blockwise),                        # msig
-        pl.BlockSpec((1, T, B), blockwise),                        # beta_old
-        pl.BlockSpec((1, T, B), blockwise),                        # comp_old
-        pl.BlockSpec((1, T, B), blockwise),                        # acum_old
+        pl.BlockSpec((1, T, B), natural),                          # mave
+        pl.BlockSpec((1, T, B), natural),                          # msig
+        pl.BlockSpec((1, T, B), natural),                          # beta_old
+        pl.BlockSpec((1, T, B), natural),                          # comp_old
+        pl.BlockSpec((1, T, B), natural),                          # acum_old
+        pl.BlockSpec((1, 1, B), natural),                          # grp
         pl.BlockSpec((1, T, B), blockwise),                        # u
         pl.BlockSpec((1, T, B), blockwise),                        # z
-        pl.BlockSpec((1, T, B), blockwise),                        # live
-        pl.BlockSpec((1, T, B), blockwise),                        # zerob
-        pl.BlockSpec((1, K, T, B), blockwise4),                    # lc
-        pl.BlockSpec((1, K, T, B), blockwise4),                    # rd
-        pl.BlockSpec((1, K, T, B), blockwise4),                    # sqb
-        pl.BlockSpec((T, 1), lambda b, p, j, blk: (0, 0)),         # i2se
-        pl.BlockSpec((T, 1), lambda b, p, j, blk: (0, 0)),         # nonas
+        pl.BlockSpec((T, G), grid_const2),                         # sigmag
+        pl.BlockSpec((K, T, G), grid_const3),                      # lc
+        pl.BlockSpec((K, T, G), grid_const3),                      # rd
+        pl.BlockSpec((K, T, G), grid_const3),                      # sqb
+        pl.BlockSpec((T, 1), grid_const2),                         # i2se
+        pl.BlockSpec((T, 1), grid_const2),                         # nonas
     ]
     out_specs = [
         pl.BlockSpec((T, 4, TJ), park_eps_out),                    # eps_out
-        pl.BlockSpec((1, T, B), blockwise),                        # dbeta
-        pl.BlockSpec((1, T, B), blockwise),                        # beta_new
-        pl.BlockSpec((1, T, B), blockwise),                        # comp_new
-        pl.BlockSpec((1, T, B), blockwise),                        # acum_new
+        pl.BlockSpec((1, T, B), natural),                          # beta_new
+        pl.BlockSpec((1, T, B), natural),                          # comp_new
+        pl.BlockSpec((1, T, B), natural),                          # acum_new
     ]
     out_shape = [
         jax.ShapeDtypeStruct((T, 4, mb_pad), _F32),
-        jax.ShapeDtypeStruct((nblocks, T, B), _F32),
         jax.ShapeDtypeStruct((nblocks, T, B), _F32),
         jax.ShapeDtypeStruct((nblocks, T, B), jnp.int32),
         jax.ShapeDtypeStruct((nblocks, T, B), _F32),
@@ -692,9 +783,10 @@ def _build_sweep_call_tiled(nblocks, B, mb_pad, T, K, W, shared_na,
         pltpu.VMEM((T * B, B), _F32),                           # gs
         pltpu.VMEM((T, B), _F32),                               # corr
         pltpu.VMEM((T, B), _F32),                               # dbeta
+        pltpu.VMEM((T, 2 * B), _F32),                           # lhs
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(nblocks, 2, nj),
         in_specs=in_specs, out_specs=out_specs, scratch_shapes=scratch,
     )
@@ -717,9 +809,9 @@ def vmem_fits_tiled(n_traits: int, block_size: int, mb_pad: int,
 
 
 def sweep_blocks_pallas(
-    bed, blkidx, win_p, gram_cache, eps0, na, mave_p, msig_p,
-    beta_old_p, comp_old_p, acum_old_p, u_p, z_p, live_p, zerob_p,
-    lc_p, rd_p, sqb_p, i2se, nonas_col,
+    bed, blkidx, win_p, m_local, gram_cache, eps0, na,
+    mave, msig, beta_old, comp_old, acum_old, grp,
+    u_p, z_p, sigmag, lc_tab, rd_tab, sqb_tab, i2se, nonas_col,
     *, wave: int, shared_na: bool, interpret: bool = False,
     tiled: bool = False,
 ):
@@ -728,93 +820,102 @@ def sweep_blocks_pallas(
     bed (nblocks*B, mb_pad) u8 in NATURAL order; blkidx (nblocks,) i32 the
     processing order of natural blocks (scalar-prefetched into the DMA
     index map); win_p (nblocks, B) i32 the within-block row shuffle;
-    eps0/na (T|1, 4, mb_pad) f32; the *_p arrays (nblocks, ...) per-block
-    prep in PROCESSING order (see gibbs.marker_sweep).
-    Returns (eps_out, dbeta_p, beta_new_p, comp_new_p, acum_new_p).
+    m_local () i32; eps0/na (T|1, 4, mb_pad) f32; mave/msig/beta_old/
+    comp_old/acum_old (T, m_pad) and grp (m_pad,) in NATURAL order (all
+    processing-order prep happens in-kernel — _block_scan_phase); u_p/z_p
+    (nblocks, T, B) in processing order; sigmag (T, G) and lc/rd/sqb
+    (K, T, G) the group-level scan tables (build_sweep_tables).
+    Returns (eps_out, beta_new, comp_new, acum_new) with the marker-state
+    outputs already in NATURAL (T, m_pad) order.  Marker streams are
+    reshaped to (nblocks, 1|T, B) here because Mosaic requires block last
+    dims divisible by (8, 128) or equal to the array's — (1, T, B)
+    blocks satisfy that at any B.
     """
-    nblocks, T, B = beta_old_p.shape
-    K = rd_p.shape[1]
+    T, m_pad = beta_old.shape
+    K = rd_tab.shape[0]
+    G = rd_tab.shape[2]
+    nblocks, B = win_p.shape
     mb_pad = bed.shape[1]
     assert mb_pad % _LANES == 0, "pad packed columns to the lane tile"
-    assert bed.shape[0] == nblocks * B
+    assert bed.shape[0] == nblocks * B == m_pad
     if "call" in DEBUG_SKIP:
         # Profiling: XLA-glue-only floor — the kernel is not launched.
-        z = jnp.zeros((nblocks, T, B), _F32)
-        return (eps0.astype(_F32), z, z, z.astype(jnp.int32), z)
+        z = jnp.zeros((T, m_pad), _F32)
+        return (eps0.astype(_F32), z, z.astype(jnp.int32), z)
     if tiled:
         call = _build_sweep_call_tiled(
-            nblocks, B, mb_pad, T, K, wave, bool(shared_na),
+            nblocks, B, mb_pad, T, K, wave, G, bool(shared_na),
             resolve_interpret(interpret or FORCE_INTERPRET),
             DEBUG_SKIP, pick_lane_tile(mb_pad))
     else:
         call = _build_sweep_call(
-            nblocks, B, mb_pad, T, K, wave, bool(shared_na),
+            nblocks, B, mb_pad, T, K, wave, G, bool(shared_na),
             resolve_interpret(interpret or FORCE_INTERPRET),
             DEBUG_SKIP)
     na_in = na[:1] if shared_na else na
-    return call(
+
+    def nat3(x, dt):   # (T, m_pad) -> (nblocks, T, B)
+        return jnp.moveaxis(x.astype(dt).reshape(T, nblocks, B), 1, 0)
+
+    eps_out, beta3, comp3, acum3 = call(
         blkidx.astype(jnp.int32),
+        jnp.asarray(m_local, jnp.int32).reshape(1),
         bed, win_p.astype(jnp.int32).reshape(nblocks, 1, B),
         gram_cache.astype(_F32),
         eps0.astype(_F32), na_in.astype(_F32),
-        mave_p.astype(_F32), msig_p.astype(_F32),
-        beta_old_p.astype(_F32), comp_old_p.astype(jnp.int32),
-        acum_old_p.astype(_F32), u_p.astype(_F32), z_p.astype(_F32),
-        live_p.astype(jnp.int32), zerob_p.astype(jnp.int32),
-        lc_p.astype(_F32), rd_p.astype(_F32), sqb_p.astype(_F32),
+        nat3(mave, _F32), nat3(msig, _F32),
+        nat3(beta_old, _F32), nat3(comp_old, jnp.int32),
+        nat3(acum_old, _F32),
+        grp.astype(jnp.int32).reshape(nblocks, 1, B),
+        u_p.astype(_F32), z_p.astype(_F32),
+        sigmag.astype(_F32),
+        lc_tab.astype(_F32), rd_tab.astype(_F32), sqb_tab.astype(_F32),
         i2se.astype(_F32), nonas_col.astype(_F32),
     )
 
+    def unnat(y):      # (nblocks, T, B) -> (T, m_pad)
+        return jnp.moveaxis(y, 0, 1).reshape(T, m_pad)
 
-def build_sweep_prep(grp_flat, valid_flat, sigmag, sigmae, pi_est,
-                     cva, cvai, nonas, n_total, nblocks, B, wave):
-    """Batched per-marker scan tables for the mega-kernel — the
-    scan_kernel_wave prep lifted over all blocks at once (it depends only
-    on groups and the iteration's hyperparameters, not on eps)."""
+    return eps_out, unnat(beta3), unnat(comp3), unnat(acum3)
+
+
+def build_sweep_tables(sigmag, sigmae, pi_est, cva, cvai, nonas, n_total):
+    """GROUP-level scan tables (K, T, G) for the mega-kernel — the
+    scan_kernel_wave per-marker prep collapsed to group granularity: lc/
+    rd/sqb depend on a marker only through its group, so the kernel
+    selects per-marker values by group id (exact copies) and the former
+    per-iteration (nblocks, K, T, B) XLA prep streams disappear.  The
+    arithmetic matches make_block_scan_wave exactly so values stay
+    bit-identical to the composed path."""
+    f32 = _F32
     T = sigmag.shape[0]
     G, K = cva.shape
-    f32 = _F32
-    m_pad = grp_flat.shape[0]
     sigmae_f = sigmae.astype(f32)[:, None]                 # (T, 1)
     nonas_f = nonas.astype(f32)[:, None]
     n_total_f = jnp.asarray(n_total, f32)
 
-    sg = jnp.take_along_axis(
-        sigmag.astype(f32), grp_flat[None, :], axis=1)     # (T, m_pad)
+    sg = sigmag.astype(f32)                                # (T, G)
     adav = sg == 0.0
     sg_safe = jnp.where(adav, 1.0, sg)
     sige_g = sigmae_f / sg_safe
     sigg_e = sg_safe / sigmae_f
 
-    cvai_b = cvai.astype(f32)[grp_flat, 1:]                # (m_pad, K-1)
-    cva_b = cva.astype(f32)[grp_flat, 1:]
+    cvai_b = cvai.astype(f32)[:, 1:]                       # (G, K-1)
+    cva_b = cva.astype(f32)[:, 1:]
     denom = (n_total_f - 1.0) + sige_g[:, :, None] * cvai_b[None]
-    zeros0 = jnp.zeros((T, m_pad, 1), f32)
-    rd = jnp.concatenate([zeros0, 1.0 / denom], axis=2)    # (T, m_pad, K)
+    zeros0 = jnp.zeros((T, G, 1), f32)
+    rd = jnp.concatenate([zeros0, 1.0 / denom], axis=2)    # (T, G, K)
     sqb = jnp.concatenate(
         [zeros0, jnp.sqrt(sigmae_f[:, :, None] / denom)], axis=2)
 
-    logpi = jnp.log(pi_est.astype(f32))[:, grp_flat, :]    # (T, m_pad, K)
+    logpi = jnp.log(pi_est.astype(f32))                    # (T, G, K)
     tail = -0.5 * jnp.log(
         sigg_e[:, :, None] * (nonas_f[:, :, None] - 1.0) * cva_b[None] + 1.0)
     lc = logpi.at[:, :, 1:].add(tail)
 
-    def per_block_ktb(x3):  # (T, m_pad, K) -> (nblocks, K, T, B)
-        return jnp.transpose(x3.reshape(T, nblocks, B, K), (1, 3, 0, 2))
-
-    lc_p = per_block_ktb(lc)
-    rd_p = per_block_ktb(rd)
-    sqb_p = per_block_ktb(sqb)
-
-    validb = valid_flat[None, :]
-    live = (validb & (~adav)).astype(jnp.int32)            # (T, m_pad)
-    zerob = (validb & adav).astype(jnp.int32)
-
-    def per_block_tb(x2):   # (T, m_pad) -> (nblocks, T, B)
-        return jnp.moveaxis(x2.reshape(T, nblocks, B), 1, 0)
-
-    return (lc_p, rd_p, sqb_p,
-            per_block_tb(live), per_block_tb(zerob))
+    def ktg(x):
+        return jnp.transpose(x, (2, 0, 1))
+    return ktg(lc), ktg(rd), ktg(sqb)
 
 
 # --------------------------------------------------------------------------

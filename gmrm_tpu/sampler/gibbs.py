@@ -171,7 +171,7 @@ def marker_sweep(
     tiled = False
     if mega:
         from gmrm_tpu.ops.sweep_kernel import (
-            sweep_blocks_pallas, build_sweep_prep, vmem_fits,
+            sweep_blocks_pallas, build_sweep_tables, vmem_fits,
             vmem_fits_tiled,
         )
         if megakernel == "tiled":
@@ -182,12 +182,42 @@ def marker_sweep(
                      and vmem_fits_tiled(T, B, static.bed.shape[1]))
             mega = bool(megakernel) or resident or tiled
 
+    if mega:
+        # The kernel consumes NATURAL-order operands and group-level scan
+        # tables and emits natural-order state — no XLA-side permutes,
+        # per-marker prep streams, or unpermute (they cost ~1 ms/iter of
+        # the 3.86 ms round-3 anchor).  All processing-order prep happens
+        # in-kernel via exact one-hot MXU permutes (_block_scan_phase).
+        G, K = static.cva.shape
+        lc_t, rd_t, sqb_t = build_sweep_tables(
+            sigmag, sigmae, pi_est, static.cva, static.cvai,
+            nonas, n_total)
+        i2se = (1.0 / (2.0 * sigmae.astype(jnp.float32)))[:, None]
+        nonas_col = nonas.astype(jnp.float32)[:, None]
+        eps_out, betas_new, comp_new, acum_new = sweep_blocks_pallas(
+            static.bed, block_perm[0], block_perm[1], static.m_local,
+            static.gram_cache, eps, na,
+            static.mave, static.msig, betas, comp, acum, static.group_of,
+            u_all, z_all, sigmag, lc_t, rd_t, sqb_t, i2se, nonas_col,
+            wave=wave_size, shared_na=shared_na, tiled=tiled)
+        eps = eps_out.astype(dtype)
+        # cass over live markers (valid, non-adav group) in natural order.
+        valid_nat = jnp.arange(m_pad) < static.m_local
+        sg_nat = jnp.take_along_axis(
+            sigmag, static.group_of[None, :], axis=1)      # (T, m_pad)
+        live_nat = valid_nat[None, :] & (sg_nat != 0.0)
+        onehot_k = jax.nn.one_hot(comp_new, K, dtype=jnp.int32)
+        onehot_g = jax.nn.one_hot(static.group_of, G, dtype=jnp.int32)
+        cass_local = jnp.einsum(
+            "tmk,mg->tgk", onehot_k * live_nat[:, :, None], onehot_g)
+        return (eps, betas_new.astype(dtype), comp_new,
+                acum_new.astype(dtype), cass_local)
+
     # With a block-preserving permutation the bed is never copied: the
-    # mega kernel prefetch-indexes it, the composed body dynamic-slices
-    # natural blocks.  Only the uniform-shuffle paths (sharded / XLA / W=1)
-    # still permute physically.
+    # composed body dynamic-slices natural blocks.  Only the
+    # uniform-shuffle paths (XLA / W=1) still permute physically.
     stream_bed = block_perm is not None
-    bed_p = (None if (mega or stream_bed)
+    bed_p = (None if stream_bed
              else permuted_blocks(static.bed, 0))         # (nb, B, mb)
     mave_p = permuted_blocks(static.mave, 1)          # (nblocks, T, B)
     msig_p = permuted_blocks(static.msig, 1)
@@ -196,31 +226,6 @@ def marker_sweep(
     beta_old_p = permuted_blocks(betas, 1)
     comp_old_p = permuted_blocks(comp, 1)
     acum_old_p = permuted_blocks(acum, 1)
-
-    if mega:
-        G, K = static.cva.shape
-        lc_p, rd_p, sqb_p, live_p, zerob_p = build_sweep_prep(
-            grp_p.reshape(m_pad), valid_p.reshape(m_pad),
-            sigmag, sigmae, pi_est, static.cva, static.cvai,
-            nonas, n_total, nblocks, B, wave_size)
-        i2se = (1.0 / (2.0 * sigmae.astype(jnp.float32)))[:, None]
-        nonas_col = nonas.astype(jnp.float32)[:, None]
-        eps_out, _dbeta_p, beta_new_p, comp_new_p, acum_new_p = \
-            sweep_blocks_pallas(
-                static.bed, block_perm[0], block_perm[1],
-                static.gram_cache, eps, na,
-                mave_p, msig_p, beta_old_p, comp_old_p, acum_old_p,
-                u_all, z_all, live_p, zerob_p,
-                lc_p, rd_p, sqb_p, i2se, nonas_col,
-                wave=wave_size, shared_na=shared_na, tiled=tiled)
-        eps = eps_out.astype(dtype)
-        onehot_k = jax.nn.one_hot(comp_new_p, K, dtype=jnp.int32)
-        onehot_g = jax.nn.one_hot(grp_p, G, dtype=jnp.int32)
-        cass_local = jnp.einsum(
-            "atbk,abg->tgk", onehot_k * live_p[:, :, :, None], onehot_g)
-        return _finish_sweep(
-            eps, beta_new_p, comp_new_p, acum_new_p, cass_local,
-            perm, m_pad, T)
 
     mb_pad = static.bed.shape[1]
 
