@@ -79,7 +79,7 @@ def bench_tpu(data_dir):
     opt.load_group_mixtures()
     dtype = jnp.float32
 
-    data = load_data(opt)
+    data = load_data(opt, interleave=opt.wave_size > 1)
     static = build_static(data, opt, dtype)
     state = init_sampler_state(data, opt, dtype)
     use_pallas = jax.default_backend() not in ("cpu",)

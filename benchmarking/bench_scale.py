@@ -75,7 +75,7 @@ def main():
     opt.load_group_mixtures()
 
     t0 = time.perf_counter()
-    data = load_data(opt)
+    data = load_data(opt, interleave=args.wave > 1)
     static = build_static(data, opt, jnp.float32)
     state = init_sampler_state(data, opt, jnp.float32)
     load_s = time.perf_counter() - t0

@@ -46,7 +46,7 @@ from gmrm_tpu.io.writers import (
 from gmrm_tpu.ops.blockops import marker_stats_jax
 from gmrm_tpu.ops.decode import to_phase_planes
 from gmrm_tpu.parallel.mesh import MARKER_AXIS, make_marker_mesh, marker_blocks
-from gmrm_tpu.runner import RunResult, round_up, stem
+from gmrm_tpu.runner import RunResult, interleave_order, round_up, stem
 from gmrm_tpu.sampler.dists import beta_11
 from gmrm_tpu.sampler.gibbs import gibbs_iteration
 from gmrm_tpu.sampler.state import (
@@ -171,6 +171,7 @@ class ProcessData:
     bed_local: np.ndarray         # (len(local_ids)*m_pad_shard, mb_pad)
     group_local: np.ndarray       # (len(local_ids)*m_pad_shard,)
     m_local_arr: np.ndarray       # (len(local_ids),) real marker counts
+    inv_orders: list              # per-local-shard inv map or None
     phens: list
     eps0: np.ndarray              # (T, 4, mb_pad) replicated
     na: np.ndarray                # (T, 4, mb_pad)
@@ -181,7 +182,8 @@ class ProcessData:
 
 def load_data_process(opt: Options, n_shards: int,
                       local_ids: Optional[Sequence[int]] = None,
-                      lane_pad: int = 512) -> ProcessData:
+                      lane_pad: int = 512,
+                      interleave: bool = False) -> ProcessData:
     """Read this process's shards only (reference per-rank load,
     bayes.cpp:867-900: each rank reads offset 3 + S*mbytes).
 
@@ -213,12 +215,22 @@ def load_data_process(opt: Options, n_shards: int,
         gidx_all = np.zeros(m_total, dtype=np.int32)
     mtotgrp = np.bincount(gidx_all, minlength=opt.n_groups).astype(np.int32)
 
+    inv_orders = []
     for i in local_ids:
         s, ln = blocks[i]
         bed_i = read_bed(opt.bed_file, n, m_total, s, ln)
-        bed_parts.append(pad_bed(bed_i, m_pad_shard, mb_pad))
         g = np.zeros(m_pad_shard, np.int32)
         g[:ln] = gidx_all[s:s + ln]
+        if interleave and ln > 1:
+            # per-shard block interleave (see runner.interleave_order):
+            # same-block markers end up >= nblocks apart in the genome.
+            order, inv = interleave_order(ln, m_pad_shard // opt.block_size)
+            bed_i = bed_i[order]
+            g[:ln] = g[:ln][order]
+            inv_orders.append(inv)
+        else:
+            inv_orders.append(None)
+        bed_parts.append(pad_bed(bed_i, m_pad_shard, mb_pad))
         grp_parts.append(g)
         mloc.append(ln)
 
@@ -236,6 +248,7 @@ def load_data_process(opt: Options, n_shards: int,
         bed_local=np.concatenate(bed_parts, axis=0),
         group_local=np.concatenate(grp_parts),
         m_local_arr=np.asarray(mloc, np.int32),
+        inv_orders=inv_orders,
         phens=phens, eps0=eps0, na=na,
         nonas=np.array([ph.nonas for ph in phens], np.float64),
         mtotgrp=mtotgrp,
@@ -411,7 +424,8 @@ def run_training_sharded(opt: Options, n_devices: int = 0,
     mesh = make_marker_mesh(n_devices)
     d = mesh.devices.size
     local_ids = local_shard_ids(mesh)
-    data = load_data_process(opt, d, local_ids)
+    data = load_data_process(opt, d, local_ids,
+                             interleave=(opt.wave_size or 1) > 1)
     layout = data.layout
 
     shard1 = P(MARKER_AXIS)
@@ -588,6 +602,13 @@ def run_training_sharded(opt: Options, n_devices: int = 0,
             m0_sum = np.asarray(jax.device_get(aux.m0)).sum(axis=1)
             bsl = local_marker_slices(state.betas, layout, local_ids)
             csl = local_marker_slices(state.comp, layout, local_ids)
+
+            def orig(d, k):
+                iv = data.inv_orders[k]
+                return d if iv is None else d[:, iv]
+
+            bsl = [(s, ln, orig(d, k)) for k, (s, ln, d) in enumerate(bsl)]
+            csl = [(s, ln, orig(d, k)) for k, (s, ln, d) in enumerate(csl)]
             beta_slices = [[(s, ln, d[ti]) for (s, ln, d) in bsl]
                            for ti in range(t)]
             comp_slices = [[(s, ln, d[ti]) for (s, ln, d) in csl]

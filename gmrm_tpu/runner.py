@@ -56,6 +56,34 @@ class LoadedData:
     group_of: np.ndarray         # (m_pad,) int32
     mtotgrp: np.ndarray          # (G,) int32
     out_basenames: List[str]
+    # Interleaved storage mapping (see interleave_order): original-order
+    # values = stored[:, inv_order].  None when storage is in original
+    # marker order.
+    inv_order: Optional[np.ndarray] = None   # (m_local,) int64
+
+
+def interleave_order(m_local: int, nblocks: int):
+    """Stride interleave of the real markers across Gram blocks.
+
+    Under the block-preserving shuffle, block membership is permanent, so
+    genomically ADJACENT (high-LD) markers sharing a block would share a
+    wave (blind to each other's moves) with probability W/B every
+    iteration — measured to DIVERGE the W=32 sampler on LD-structured
+    genotypes (benchmarking/validate_ld.py).  Storing marker j at the
+    stable-sorted position of key (j mod nblocks) puts consecutive
+    markers in consecutive BLOCKS: same-block neighbors are >= nblocks
+    apart in the genome (>= 156 at the bench anchor), far beyond LD
+    range.  The reference keeps contiguous per-rank blocks but pays no
+    such price because its within-rank sweep is fully serial
+    (phenotype.cpp:314-323).
+
+    Returns (order, inv): storage row i holds original marker order[i];
+    original-order values = stored[inv].
+    """
+    order = np.argsort(np.arange(m_local) % max(nblocks, 1),
+                       kind="stable")
+    inv = np.argsort(order, kind="stable")
+    return order, inv
 
 
 def stem(path: str) -> str:
@@ -68,11 +96,15 @@ def load_data(
     n_markers: Optional[int] = None,
     m_pad: Optional[int] = None,
     lane_pad: int = 512,
+    interleave: bool = False,
 ) -> LoadedData:
     """Read and preprocess all inputs for one marker shard.
 
     ``start_marker``/``n_markers`` mirror the reference's per-rank block
     (bayes.cpp:903-925); the single-device runner uses the whole range.
+    ``interleave`` stores markers block-interleaved (interleave_order) —
+    required by the wave relaxation on LD-structured data; outputs are
+    written back in original order via ``inv_order``.
     """
     n, m_total = read_dim(opt.dim_file)
     if opt.trunc_markers:
@@ -86,6 +118,11 @@ def load_data(
         m_pad = round_up(max(n_markers, 1), opt.block_size)
 
     bed = read_bed(opt.bed_file, n, m_total, start_marker, n_markers)
+    inv_order = None
+    if interleave and n_markers > 1:
+        order, inv_order = interleave_order(n_markers,
+                                            m_pad // opt.block_size)
+        bed = bed[order]
     bed = pad_bed(bed, m_pad, mb_pad)
 
     phens = [read_phen(fp, n) for fp in opt.phen_files]
@@ -109,6 +146,8 @@ def load_data(
         gidx_all = np.zeros(m_total, dtype=np.int32)
     group_of = np.zeros(m_pad, dtype=np.int32)
     group_of[:n_markers] = gidx_all[start_marker:start_marker + n_markers]
+    if inv_order is not None:
+        group_of[:n_markers] = group_of[:n_markers][order]
     mtotgrp = np.bincount(gidx_all, minlength=opt.n_groups).astype(np.int32)
 
     return LoadedData(
@@ -116,6 +155,7 @@ def load_data(
         mb=mb, mb_pad=mb_pad, m_pad=m_pad, bed=bed, phens=phens,
         eps0=eps0, na=na, nonas=nonas, group_of=group_of, mtotgrp=mtotgrp,
         out_basenames=[stem(fp) for fp in opt.phen_files],
+        inv_order=inv_order,
     )
 
 
@@ -227,6 +267,11 @@ class OutputSet:
         betas = np.asarray(state_host.betas, np.float64)
         comp = np.asarray(state_host.comp, np.int32)
         ml, s = data.m_local, data.s_local
+        iv = data.inv_order
+        if iv is not None:
+            # interleaved storage -> original marker order on disk
+            betas = betas[:, :ml][:, iv]
+            comp = comp[:, :ml][:, iv]
         for ti in range(len(self.bet)):
             row = format_csv_record(it, sigmag[ti], float(sigmae[ti]),
                                     int(m0[ti].sum()), pi[ti])
@@ -246,7 +291,9 @@ def run_training(opt: Options, verbose: bool = True) -> RunResult:
     # Phase timing mirrors the reference's self-instrumentation
     # (genotype load bayes.cpp:897, marker stats bayes.cpp:790-792).
     t0 = time.perf_counter()
-    data = load_data(opt)
+    # Block-interleaved marker storage whenever the wave relaxation is on
+    # (W > 1): mandatory on LD-structured data — see interleave_order.
+    data = load_data(opt, interleave=(opt.wave_size or 1) > 1)
     if verbose:
         print(f"INFO   : time to load genotype + phenotype data = "
               f"{time.perf_counter() - t0:.2f} seconds.")
@@ -306,7 +353,12 @@ def run_training(opt: Options, verbose: bool = True) -> RunResult:
             state_host = jax.device_get(state)
             aux_host = jax.device_get(aux)
             outputs.write_thinned(rec, it, state_host, aux_host, data)
-            beta_acc += np.asarray(state_host.betas, np.float64)
+            bh = np.asarray(state_host.betas, np.float64)
+            if data.inv_order is not None:
+                bh = bh.copy()
+                bh[:, :data.m_local] = \
+                    bh[:, :data.m_local][:, data.inv_order]
+            beta_acc += bh
             n_rec += 1
             if verbose:
                 sg_sum = np.asarray(state_host.sigmag).sum(axis=1)

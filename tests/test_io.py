@@ -188,3 +188,34 @@ def test_history_truncate_to(tmp_path):
     iters, data = read_history(p, "f8")
     assert list(iters) == [1, 2]
     assert data.shape == (2, 5)
+
+
+def test_interleave_roundtrip(sim_small):
+    """Block-interleaved marker storage (runner.interleave_order): stored
+    rows recover the original order through inv_order, group ids follow
+    their markers, and adjacent original markers land in different
+    blocks."""
+    import numpy as np
+    from gmrm_tpu.config import Options
+    from gmrm_tpu.runner import load_data
+
+    opt = Options(bed_file=sim_small.bed, dim_file=sim_small.dim,
+                  phen_files=sim_small.phens,
+                  group_index_file=sim_small.gri,
+                  group_mixture_file=sim_small.grm, block_size=16)
+    opt.load_group_mixtures()
+    plain = load_data(opt, interleave=False)
+    inter = load_data(opt, interleave=True)
+    m = plain.m_local
+    iv = inter.inv_order
+    assert iv is not None and plain.inv_order is None
+    np.testing.assert_array_equal(inter.bed[:m][iv], plain.bed[:m])
+    np.testing.assert_array_equal(inter.group_of[:m][iv],
+                                  plain.group_of[:m])
+    # adjacent original markers are in different blocks
+    B = opt.block_size
+    nb = plain.m_pad // B
+    pos = iv                      # storage row of original marker j
+    blocks_of = pos // B
+    same_block_adjacent = np.mean(blocks_of[:-1] == blocks_of[1:])
+    assert same_block_adjacent < 1.0 / max(nb - 1, 1) + 0.1
