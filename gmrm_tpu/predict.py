@@ -18,6 +18,7 @@ Per phenotype:
 
 from __future__ import annotations
 
+import functools
 import os
 
 import jax
@@ -35,13 +36,13 @@ from gmrm_tpu.ops.blockops import marker_stats_jax, _PREC
 from gmrm_tpu.runner import stem
 
 
-def _chunked_predict_sums(bed, na, mave, msig, beta_mean, y_planes,
-                          keep, dtype=jnp.float32, chunk=512,
-                          axis_name=None):
-    """One fused pass: g = sum_j keep_j*beta_j*x_std_j  and per-marker
-    (xtx, xty) on uncentered dosages against y_k."""
-    m, mb = bed.shape
-
+def _predict_sums_scan(bed_p, mave_p, msig_p, beta_p, keep_p, na, y_planes,
+                       *, dtype, axis_name=None):
+    """The fused scan over marker chunks (pure; jitted via
+    _predict_sums_jit for the single-device path so repeated calls —
+    per trait, per run — hit the jit cache instead of recompiling:
+    closing over na/y_planes as constants caused a ~3 s XLA recompile
+    per trait)."""
     def body(carry, xs):
         g_acc = carry
         bed_c, mave_c, msig_c, beta_c, keep_c = xs
@@ -59,6 +60,35 @@ def _chunked_predict_sums(bed, na, mave, msig, beta_mean, y_planes,
                          preferred_element_type=dtype, precision=_PREC)
         return g_acc, (xtx, xty)
 
+    g0 = jnp.zeros(na.shape, dtype)
+    if axis_name is not None:
+        # Under shard_map the carry absorbs shard-varying inputs.
+        g0 = jax.lax.pcast(g0, (axis_name,), to="varying")
+    g, (xtx, xty) = jax.lax.scan(body, g0,
+                                 (bed_p, mave_p, msig_p, beta_p, keep_p))
+    return g, xtx, xty
+
+
+@functools.partial(jax.jit, static_argnames=("dtype",))
+def _predict_sums_jit(bed_p, mave_p, msig_p, beta_p, keep_p, na, y_planes,
+                      dtype):
+    return _predict_sums_scan(bed_p, mave_p, msig_p, beta_p, keep_p,
+                              na, y_planes, dtype=dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("dtype",))
+def _stats_jit(bed, na, nonas, dtype):
+    # jit wrapper: marker_stats_jax's eager scan would recompile per
+    # trait (fresh na constants); here the cache keys on shapes.
+    return marker_stats_jax(bed, na, nonas, dtype=dtype)
+
+
+def _chunked_predict_sums(bed, na, mave, msig, beta_mean, y_planes,
+                          keep, dtype=jnp.float32, chunk=512,
+                          axis_name=None):
+    """One fused pass: g = sum_j keep_j*beta_j*x_std_j  and per-marker
+    (xtx, xty) on uncentered dosages against y_k."""
+    m, mb = bed.shape
     n_chunks = -(-m // chunk)
     m_pad = n_chunks * chunk
     pad = m_pad - m
@@ -78,11 +108,11 @@ def _chunked_predict_sums(bed, na, mave, msig, beta_mean, y_planes,
         padm(beta_mean).reshape(n_chunks, chunk).astype(dtype),
         padm(keep.astype(np.float32)).reshape(n_chunks, chunk).astype(dtype),
     )
-    g0 = jnp.zeros(na.shape, dtype)
     if axis_name is not None:
-        # Under shard_map the carry absorbs shard-varying inputs.
-        g0 = jax.lax.pcast(g0, (axis_name,), to="varying")
-    g, (xtx, xty) = jax.lax.scan(body, g0, xs)
+        g, xtx, xty = _predict_sums_scan(*xs, na, y_planes, dtype=dtype,
+                                         axis_name=axis_name)
+    else:
+        g, xtx, xty = _predict_sums_jit(*xs, na, y_planes, dtype=dtype)
     return g, xtx.reshape(-1)[:m], xty.reshape(-1)[:m]
 
 
@@ -214,11 +244,13 @@ def run_predict(opt: Options, verbose: bool = True):
                   f"{niter}")
 
         na = jnp.asarray(to_phase_planes(ph.na_vector_padded()), dtype)
-        mave, msig = marker_stats_jax(
+        # Stats stay ON DEVICE — they feed only the sums pass, and every
+        # host fetch on a tunneled device costs a full sync round-trip.
+        mave, msig = _stats_jit(
             jnp.asarray(bed), na[None],
             jnp.asarray([ph.nonas], dtype), dtype=dtype)
-        mave = np.asarray(mave)[0]
-        msig = np.asarray(msig)[0]
+        mave = mave[0]
+        msig = msig[0]
 
         y = ph.epsilon_padded()                             # centered+scaled
         y_planes = jnp.asarray(to_phase_planes(y), dtype)
@@ -236,14 +268,24 @@ def run_predict(opt: Options, verbose: bool = True):
         # outputs are byte-identical across layouts).
         sigma = float(np.asarray(y) @ np.asarray(y)) / ph.nonas
 
-        xtx = np.asarray(xtx, np.float64)
-        xty = np.asarray(xty, np.float64)
+        # ONE stacked device fetch per trait (each fetched array costs a
+        # sync round-trip on a tunneled device), then float64 OLS on the
+        # host like the reference (bayes.cpp:191-205).
+        xx = np.asarray(jnp.stack([xtx, xty]), np.float64)
+        xtx, xty = xx[0], xx[1]
         with np.errstate(divide="ignore", invalid="ignore"):
             beta = xty / xtx
             tdist = xty / np.sqrt(sigma * xtx)
             se = beta / tdist
-        pval = 1.0 - np.asarray(
-            jax.scipy.special.gammainc(0.5, tdist ** 2 * 0.5))
+        # p = 1 - P(1/2, t^2/2) = erfc(|t|/sqrt(2)) exactly (the
+        # reference evaluates the same regularized gamma via boost,
+        # bayes.cpp:202-205); math.erfc gives it in float64 with no
+        # device round-trip.
+        import math
+        erfc_v = np.frompyfunc(math.erfc, 1, 1)
+        with np.errstate(invalid="ignore"):
+            pval = erfc_v(np.abs(tdist) / np.sqrt(2.0)).astype(np.float64)
+        pval = np.where(np.isfinite(tdist), pval, np.nan)
 
         mlma_path = base + ".mlma"
         if pid == 0:
