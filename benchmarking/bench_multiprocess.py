@@ -51,8 +51,8 @@ import json, os, sys, time
 pid, nprocs, port, data_dir, iters = (int(sys.argv[1]), int(sys.argv[2]),
                                       int(sys.argv[3]), sys.argv[4],
                                       int(sys.argv[5]))
-os.environ["XLA_FLAGS"] = ("--xla_force_host_platform_device_count=%d"
-                           % (8 // nprocs))
+os.environ["XLA_FLAGS"] = ("--xla_force_host_platform_device_count=%%d"
+                           %% (8 // nprocs))
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/gmrm_jax_cache")
 import jax
