@@ -51,7 +51,7 @@ def main():
     )
     opt.validate()
     opt.load_group_mixtures()
-    data = load_data(opt)
+    data = load_data(opt, interleave=args.wave > 1)
     static = build_static(data, opt, jnp.float32)
     state = init_sampler_state(data, opt, jnp.float32)
     shared_na = all(ph.nas == 0 for ph in data.phens)

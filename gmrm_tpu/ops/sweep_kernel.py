@@ -919,6 +919,200 @@ def build_sweep_tables(sigmag, sigmae, pi_est, cva, cvai, nonas, n_total):
 
 
 # --------------------------------------------------------------------------
+# Fused per-block kernel (the sharded sweep's unit of work)
+# --------------------------------------------------------------------------
+
+def _block_sweep_kernel(
+    blk_b_ref,       # (1,) i32 SMEM: natural block id
+    mloc_ref,        # (1,) i32 SMEM: real local marker count
+    bed_ref,         # (B, mb_pad) u8 — natural block blk_b
+    win_ref,         # (1, 1, B) i32
+    gfull_ref,       # (1, NT, 2B, 2B) f32 cached raw Gram of this block
+    eps_ref,         # (T, 4, mb_pad) f32 current residual
+    na_ref,          # (NT, 4, mb_pad) f32
+    mave_ref,        # (1, T, B) f32 natural
+    msig_ref,        # (1, T, B) f32 natural
+    beta_old_ref,    # (1, T, B) f32 natural
+    comp_old_ref,    # (1, T, B) i32 natural
+    acum_old_ref,    # (1, T, B) f32 natural
+    grp_ref,         # (1, 1, B) i32 natural
+    u_ref, z_ref,    # (1, T, B) f32 processing order
+    sigmag_ref,      # (T, G) f32
+    lc_ref,          # (K, T, G) f32
+    rd_ref,          # (K, T, G) f32
+    sqb_ref,         # (K, T, G) f32
+    i2se_ref,        # (T, 1) f32
+    nonas_ref,       # (T, 1) f32
+    # outputs
+    deps_ref,        # (T, 4, mb_pad) f32: this block's residual delta
+    beta_new_ref,    # (1, T, B) f32 natural
+    comp_new_ref,    # (1, T, B) i32 natural
+    acum_new_ref,    # (1, T, B) f32 natural
+    # scratch
+    bedp_s, gfull_s, cab_s, gs_s, corr_s, dbeta_s,
+    *, n_mix: int, n_traits: int, wave: int, shared_na: bool,
+):
+    """ONE block's full compute in one pallas_call — the sharded sweep's
+    per-block unit (gibbs.marker_sweep fused path).  Identical math and
+    accumulation structure to the whole-sweep mega-kernel, but the
+    residual arrives as an input and leaves as a DELTA so the caller can
+    psum it across devices at the unchanged per-block cadence
+    (reference protocol, bayes.cpp:500-553).  Replaces the composed
+    3-kernel + XLA-glue chain that made the pod path ~2.5x slower than
+    the mega path per block."""
+    T = n_traits
+    B = bed_ref.shape[0]
+    mb_pad = bed_ref.shape[1]
+    K = n_mix
+    W = wave
+    TN = _LANES
+    ntiles = mb_pad // TN
+
+    perm_mat = (jax.lax.broadcasted_iota(jnp.int32, (B, B), 1)
+                == jnp.transpose(win_ref[0])).astype(_BF16)
+    bedp_s[...] = jax.lax.dot_general(
+        perm_mat,
+        bed_ref[...].astype(jnp.int32).astype(_BF16),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=_F32).astype(_BF16)
+
+    cab_s[...] = jnp.zeros(cab_s.shape, _F32)
+
+    def cab_tile(i, _):
+        off = pl.multiple_of(i * TN, TN)
+        bed_t = bedp_s[:, pl.ds(off, TN)]
+        full = jnp.ones((1, TN), bool)
+        a, b2 = _decode_tile(bed_t, full)
+        ab = jnp.concatenate([a, b2], axis=0)
+        eps_t = jnp.concatenate(
+            [eps_ref[:, k, pl.ds(off, TN)] for k in range(4)], axis=1)
+        hi = eps_t.astype(_BF16)
+        lo = (eps_t - hi.astype(_F32)).astype(_BF16)
+        rhs = jnp.concatenate([hi, lo], axis=0)
+        cab_s[...] += jax.lax.dot_general(
+            rhs, ab, (((1,), (1,)), ((), ())),
+            preferred_element_type=_F32)
+        return 0
+
+    jax.lax.fori_loop(0, ntiles, cab_tile, 0)
+
+    mave_p, msig_p = _block_scan_phase(
+        blk_b_ref[0], mloc_ref[0], perm_mat,
+        gfull_ref, mave_ref, msig_ref,
+        beta_old_ref, comp_old_ref, acum_old_ref, grp_ref, u_ref, z_ref,
+        sigmag_ref, lc_ref, rd_ref, sqb_ref, i2se_ref, nonas_ref,
+        beta_new_ref, comp_new_ref, acum_new_ref,
+        gfull_s, cab_s, gs_s, corr_s, dbeta_s,
+        n_mix=K, n_traits=T, wave=W, shared_na=shared_na,
+        skip=frozenset())
+
+    dscaled = msig_p * dbeta_s[...]
+    lhs = jnp.concatenate([dscaled, -(mave_p * dscaled)], axis=1)
+    hi = lhs.astype(_BF16)
+    lo = (lhs - hi.astype(_F32)).astype(_BF16)
+    lhs2 = jnp.concatenate([hi, lo], axis=0)
+
+    def upd_tile(i, _):
+        off = pl.multiple_of(i * TN, TN)
+        bed_t = bedp_s[:, pl.ds(off, TN)]
+        full = jnp.ones((1, TN), bool)
+        a, b2 = _decode_tile(bed_t, full)
+        ab = jnp.concatenate([a, b2], axis=0)
+        out = jax.lax.dot_general(
+            lhs2, ab, (((1,), (0,)), ((), ())),
+            preferred_element_type=_F32)
+        deps = out[:T] + out[T:]
+        for k in range(4):
+            if shared_na:
+                na_k = na_ref[0, k:k + 1, pl.ds(off, TN)]
+            else:
+                na_k = na_ref[:, k, pl.ds(off, TN)]
+            deps_ref[:, k, pl.ds(off, TN)] = \
+                deps[:, k * TN:(k + 1) * TN] * na_k
+        return 0
+
+    jax.lax.fori_loop(0, ntiles, upd_tile, 0)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_block_sweep_call(B, mb_pad, T, K, W, G, shared_na, interpret,
+                            vma=None):
+    from gmrm_tpu.ops.pallas_kernels import sds
+    NT = 1 if shared_na else T
+    kern = functools.partial(_block_sweep_kernel, n_mix=K, n_traits=T,
+                             wave=W, shared_na=shared_na)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        in_specs=[smem, smem] + [vmem] * 19,
+        out_specs=[vmem] * 4,
+        out_shape=[
+            sds((T, 4, mb_pad), _F32, vma),
+            sds((1, T, B), _F32, vma),
+            sds((1, T, B), jnp.int32, vma),
+            sds((1, T, B), _F32, vma),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((B, mb_pad), _BF16),
+            pltpu.VMEM((NT, 2 * B, 2 * B), _F32),
+            pltpu.VMEM((2 * T, 2 * B), _F32),
+            pltpu.VMEM((T * B, B), _F32),
+            pltpu.VMEM((T, B), _F32),
+            pltpu.VMEM((T, B), _F32),
+        ],
+        interpret=interpret,
+    )
+
+
+def block_sweep_pallas(
+    blk_b, m_local, bed_blk, win_blk, gfull_blk, eps, na,
+    mave_blk, msig_blk, beta_blk, comp_blk, acum_blk, grp_blk,
+    u_blk, z_blk, sigmag, lc_tab, rd_tab, sqb_tab, i2se, nonas_col,
+    *, wave: int, shared_na: bool, interpret: bool = False,
+    axis_name=None,
+):
+    """One fused per-block sweep step (see _block_sweep_kernel).
+
+    All block operands are NATURAL-order slices: bed_blk (B, mb_pad) u8,
+    gfull_blk (1, NT, 2B, 2B), mave/msig/beta/comp/acum (T, B), grp (B,),
+    win/u/z processing-order.  Returns (deps, beta_new, comp_new,
+    acum_new) with deps (T, 4, mb_pad) ready for the cross-device psum.
+    """
+    from gmrm_tpu.ops.pallas_kernels import out_vma, shard_varying
+    B, mb_pad = bed_blk.shape
+    T = eps.shape[0]
+    K, _, G = rd_tab.shape
+    call = _build_block_sweep_call(
+        B, mb_pad, T, K, wave, G, bool(shared_na),
+        resolve_interpret(interpret or FORCE_INTERPRET),
+        out_vma(axis_name))
+    na_in = na[:1] if shared_na else na
+    args = shard_varying(
+        axis_name,
+        jnp.asarray(blk_b, jnp.int32).reshape(1),
+        jnp.asarray(m_local, jnp.int32).reshape(1),
+        bed_blk, win_blk.astype(jnp.int32).reshape(1, 1, B),
+        gfull_blk.astype(_F32),
+        eps.astype(_F32), na_in.astype(_F32),
+        mave_blk.astype(_F32).reshape(1, T, B),
+        msig_blk.astype(_F32).reshape(1, T, B),
+        beta_blk.astype(_F32).reshape(1, T, B),
+        comp_blk.astype(jnp.int32).reshape(1, T, B),
+        acum_blk.astype(_F32).reshape(1, T, B),
+        grp_blk.astype(jnp.int32).reshape(1, 1, B),
+        u_blk.astype(_F32).reshape(1, T, B),
+        z_blk.astype(_F32).reshape(1, T, B),
+        sigmag.astype(_F32),
+        lc_tab.astype(_F32), rd_tab.astype(_F32), sqb_tab.astype(_F32),
+        i2se.astype(_F32), nonas_col.astype(_F32),
+    )
+    deps, beta_new, comp_new, acum_new = call(*args)
+    return (deps, beta_new.reshape(T, B), comp_new.reshape(T, B),
+            acum_new.reshape(T, B))
+
+
+# --------------------------------------------------------------------------
 # One-time Gram cache builder
 # --------------------------------------------------------------------------
 

@@ -43,6 +43,19 @@ def _psum(x, axis_name):
     return jax.lax.psum(x, axis_name) if axis_name else x
 
 
+def _natural_cass(comp_new, group_of, sigmag, m_local, m_pad, G, K):
+    """Per-(group, component) counts over LIVE markers (valid and in a
+    non-dead group) from natural-order components — the .csv cass
+    ingredient (reference bayes.cpp:583-589)."""
+    valid_nat = jnp.arange(m_pad) < m_local
+    sg_nat = jnp.take_along_axis(sigmag, group_of[None, :], axis=1)
+    live_nat = valid_nat[None, :] & (sg_nat != 0.0)
+    onehot_k = jax.nn.one_hot(comp_new, K, dtype=jnp.int32)
+    onehot_g = jax.nn.one_hot(group_of, G, dtype=jnp.int32)
+    return jnp.einsum(
+        "tmk,mg->tgk", onehot_k * live_nat[:, :, None], onehot_g)
+
+
 def marker_sweep(
     eps, betas, comp, acum,
     sigmag, sigmae, pi_est,
@@ -60,10 +73,19 @@ def marker_sweep(
     megakernel=None,
     block_perm=None,
     gram_cached=None,
+    fused=None,
 ):
     """The full marker sweep (reference loop bayes.cpp:375-553) over Gram
     blocks, with all randomness injected — directly comparable to the NumPy
     serial oracle.  Returns (eps, betas, comp, acum, cass_local).
+
+    ``fused`` (None = auto: on under ``axis_name``) selects the fused
+    per-block kernel for the non-mega sweep: ONE pallas_call per block
+    (ops/sweep_kernel.py block_sweep_pallas — all prep in-kernel, deps
+    emitted for the unchanged per-block psum cadence), replacing the
+    composed 3-kernel chain that made the pod path ~2.5x slower per
+    block than the mega path.  Requires the cached-Gram prerequisites
+    and the resident-kernel VMEM budget.
 
     ``gram_cached`` (None = auto) selects the cached-Gram composed path:
     the per-block Gram comes from ``static.gram_cache`` (built once — X
@@ -201,15 +223,8 @@ def marker_sweep(
             u_all, z_all, sigmag, lc_t, rd_t, sqb_t, i2se, nonas_col,
             wave=wave_size, shared_na=shared_na, tiled=tiled)
         eps = eps_out.astype(dtype)
-        # cass over live markers (valid, non-adav group) in natural order.
-        valid_nat = jnp.arange(m_pad) < static.m_local
-        sg_nat = jnp.take_along_axis(
-            sigmag, static.group_of[None, :], axis=1)      # (T, m_pad)
-        live_nat = valid_nat[None, :] & (sg_nat != 0.0)
-        onehot_k = jax.nn.one_hot(comp_new, K, dtype=jnp.int32)
-        onehot_g = jax.nn.one_hot(static.group_of, G, dtype=jnp.int32)
-        cass_local = jnp.einsum(
-            "tmk,mg->tgk", onehot_k * live_nat[:, :, None], onehot_g)
+        cass_local = _natural_cass(comp_new, static.group_of, sigmag,
+                                   static.m_local, m_pad, G, K)
         return (eps, betas_new.astype(dtype), comp_new,
                 acum_new.astype(dtype), cass_local)
 
@@ -266,6 +281,64 @@ def marker_sweep(
         sc = msig_blk[:, :, None]
         graw = g1 - mr * g2t - mc * g2 + (mc * mr) * g3
         return c, (sc * sr) * graw
+
+    use_fused = (use_cache and fused is not False
+                 and (fused is True or axis_name is not None))
+    if use_fused and fused is not True:
+        from gmrm_tpu.ops.sweep_kernel import vmem_fits
+        use_fused = vmem_fits(T, B, mb_pad)
+    if fused is True and not use_fused:
+        raise ValueError(
+            "fused=True requires the cached-Gram prerequisites "
+            "(block-preserving shuffle, use_pallas, f32, "
+            "static.gram_cache)")
+
+    if use_fused:
+        from gmrm_tpu.ops.sweep_kernel import (
+            block_sweep_pallas, build_sweep_tables,
+        )
+        G, K = static.cva.shape
+        lc_t, rd_t, sqb_t = build_sweep_tables(
+            sigmag, sigmae, pi_est, static.cva, static.cvai,
+            nonas, n_total)
+        i2se = (1.0 / (2.0 * sigmae.astype(jnp.float32)))[:, None]
+        nonas_col = nonas.astype(jnp.float32)[:, None]
+        ntc = static.gram_cache.shape[1]
+
+        def fused_body(carry, xs):
+            eps, betas_c, comp_c, acum_c = carry
+            bidx, win_blk, u_blk, z_blk = xs
+            bed_blk = jax.lax.dynamic_slice(
+                static.bed, (bidx * B, 0), (B, mb_pad))
+            gf = jax.lax.dynamic_slice(
+                static.gram_cache, (bidx, 0, 0, 0), (1, ntc, 2 * B, 2 * B))
+
+            def sl(x):
+                return jax.lax.dynamic_slice(x, (0, bidx * B), (T, B))
+
+            deps, bet_b, comp_b, acum_b = block_sweep_pallas(
+                bidx, static.m_local, bed_blk, win_blk, gf, eps, na,
+                sl(static.mave), sl(static.msig),
+                sl(betas_c), sl(comp_c), sl(acum_c),
+                jax.lax.dynamic_slice(static.group_of, (bidx * B,), (B,)),
+                u_blk, z_blk, sigmag, lc_t, rd_t, sqb_t, i2se, nonas_col,
+                wave=wave_size, shared_na=shared_na, axis_name=axis_name)
+            deps = _psum(deps, axis_name)
+            eps = eps + deps.astype(dtype)
+            betas_c = jax.lax.dynamic_update_slice(
+                betas_c, bet_b.astype(betas_c.dtype), (0, bidx * B))
+            comp_c = jax.lax.dynamic_update_slice(
+                comp_c, comp_b, (0, bidx * B))
+            acum_c = jax.lax.dynamic_update_slice(
+                acum_c, acum_b.astype(acum_c.dtype), (0, bidx * B))
+            return (eps, betas_c, comp_c, acum_c), None
+
+        (eps, betas, comp, acum), _ = jax.lax.scan(
+            fused_body, (eps, betas, comp, acum),
+            (block_perm[0], block_perm[1], u_all, z_all))
+        cass_local = _natural_cass(comp, static.group_of, sigmag,
+                                   static.m_local, m_pad, G, K)
+        return eps, betas, comp, acum, cass_local
 
     def block_body(carry, xs):
         eps, cass = carry
@@ -349,6 +422,7 @@ def gibbs_iteration(
     pallas_upd: bool = False,
     megakernel=None,
     gram_cached=None,
+    fused=None,
 ):
     T, _, mb = state.eps.shape
     m_pad = state.betas.shape[1]
@@ -437,7 +511,7 @@ def gibbs_iteration(
         axis_name=axis_name, use_pallas=use_pallas, shared_na=shared_na,
         wave_size=wave_size, pallas_gram=pallas_gram, pallas_upd=pallas_upd,
         megakernel=megakernel, block_perm=block_perm,
-        gram_cached=gram_cached,
+        gram_cached=gram_cached, fused=fused,
     )
 
     # --- 4. hyperparameter block -----------------------------------------
@@ -486,7 +560,7 @@ def make_gibbs_step(*, block_size: int, axis_name: Optional[str] = None,
                     shuffle: bool = True, shared_na: bool = False,
                     wave_size: int = 1, pallas_gram: bool = True,
                     pallas_upd: bool = False, megakernel=None,
-                    gram_cached=None):
+                    gram_cached=None, fused=None):
     """Jitted single-iteration step (state, static, it) -> (state, aux).
 
     ``static`` is a regular argument (not a closure constant) so the bed
@@ -496,6 +570,6 @@ def make_gibbs_step(*, block_size: int, axis_name: Optional[str] = None,
         gibbs_iteration, block_size=block_size, axis_name=axis_name,
         use_pallas=use_pallas, shuffle=shuffle, shared_na=shared_na,
         wave_size=wave_size, pallas_gram=pallas_gram, pallas_upd=pallas_upd,
-        megakernel=megakernel, gram_cached=gram_cached,
+        megakernel=megakernel, gram_cached=gram_cached, fused=fused,
     )
     return jax.jit(fn, donate_argnums=(0,) if donate else ())

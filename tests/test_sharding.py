@@ -407,18 +407,26 @@ def test_sharded_cached_gram_matches_recompute(sim_small):
     z_dev = jnp.asarray(rng.normal(size=(D * nblocks, 1, B)), f32)
     sigmag0 = rng.uniform(0.05, 0.5, size=G)
 
-    def sweep(eps, betas, comp, acum, sigmag, sigmae, pi_est, static,
-              blocks, u_all, z_all, pi_b_d, win_d):
-        eps, betas, comp, acum, cass_local = marker_sweep(
-            eps, betas, comp, acum, sigmag, sigmae, pi_est,
-            static, blocks, u_all, z_all, axis_name=MARKER_AXIS,
-            use_pallas=True, shared_na=True, wave_size=W,
-            block_perm=(pi_b_d, win_d))
-        return eps, betas, comp, acum, jax.lax.psum(cass_local, MARKER_AXIS)
+    def make_sweep(fused):
+        def sweep(eps, betas, comp, acum, sigmag, sigmae, pi_est, static,
+                  blocks, u_all, z_all, pi_b_d, win_d):
+            eps, betas, comp, acum, cass_local = marker_sweep(
+                eps, betas, comp, acum, sigmag, sigmae, pi_est,
+                static, blocks, u_all, z_all, axis_name=MARKER_AXIS,
+                use_pallas=True, shared_na=True, wave_size=W,
+                block_perm=(pi_b_d, win_d), fused=fused)
+            return (eps, betas, comp, acum,
+                    jax.lax.psum(cass_local, MARKER_AXIS))
+        return sweep
 
     sh, sh2, rep = P(MARKER_AXIS), P(None, MARKER_AXIS), P()
     outs = {}
-    for name, cache in (("recompute", None), ("cached", gram_cache)):
+    # recompute composite / cached composite / cached FUSED per-block
+    # kernel (the pod production path) must all agree.
+    for name, cache, fused in (("recompute", None, False),
+                               ("cached", gram_cache, False),
+                               ("fused", gram_cache, True)):
+        sweep = make_sweep(fused)
         sweep_sh = jax.jit(jax.shard_map(
             sweep, mesh=mesh,
             in_specs=(rep, sh2, sh2, sh2, rep, rep, rep,
@@ -441,10 +449,11 @@ def test_sharded_cached_gram_matches_recompute(sim_small):
         ))
 
     (e_a, b_a, c_a, a_a, k_a) = outs["recompute"]
-    (e_b, b_b, c_b, a_b, k_b) = outs["cached"]
-    np.testing.assert_array_equal(np.asarray(c_b), np.asarray(c_a))
-    np.testing.assert_array_equal(np.asarray(k_b), np.asarray(k_a))
-    np.testing.assert_allclose(np.asarray(b_b), np.asarray(b_a),
-                               rtol=1e-5, atol=1e-6)
-    np.testing.assert_allclose(np.asarray(e_b), np.asarray(e_a),
-                               rtol=1e-4, atol=1e-5)
+    for variant in ("cached", "fused"):
+        (e_b, b_b, c_b, a_b, k_b) = outs[variant]
+        np.testing.assert_array_equal(np.asarray(c_b), np.asarray(c_a))
+        np.testing.assert_array_equal(np.asarray(k_b), np.asarray(k_a))
+        np.testing.assert_allclose(np.asarray(b_b), np.asarray(b_a),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(e_b), np.asarray(e_a),
+                                   rtol=1e-4, atol=1e-5)

@@ -201,3 +201,77 @@ def test_tiled_matches_resident_megakernel(tall_setup, monkeypatch):
     np.testing.assert_array_equal(np.asarray(b.comp), np.asarray(a.comp))
     np.testing.assert_array_equal(np.asarray(b.betas), np.asarray(a.betas))
     np.testing.assert_array_equal(np.asarray(b.eps), np.asarray(a.eps))
+
+
+def test_fused_block_kernel_matches_megakernel(small_setup, monkeypatch):
+    """The fused per-block kernel (the sharded sweep's unit of work,
+    block_sweep_pallas) must be BIT-identical to the whole-sweep
+    mega-kernel on one device: same in-kernel math, eps carried through
+    XLA instead of VMEM scratch (f32 adds identical either way)."""
+    monkeypatch.setattr(pk, "FORCE_INTERPRET", True)
+    monkeypatch.setattr(skw, "FORCE_INTERPRET", True)
+    monkeypatch.setattr(swk, "FORCE_INTERPRET", True)
+    opt, data, static, state = small_setup
+    shared_na = all(ph.nas == 0 for ph in data.phens)
+
+    outs = {}
+    for name, kw in (("mega", dict(megakernel=True)),
+                     ("fused", dict(megakernel=False, fused=True))):
+        s2, _ = gibbs_iteration(
+            state, static, jnp.asarray(4, jnp.int32),
+            block_size=opt.block_size, use_pallas=True,
+            shared_na=shared_na, wave_size=8, **kw)
+        outs[name] = jax.device_get(s2)
+
+    a, b = outs["mega"], outs["fused"]
+    np.testing.assert_array_equal(np.asarray(b.comp), np.asarray(a.comp))
+    np.testing.assert_array_equal(np.asarray(b.betas), np.asarray(a.betas))
+    np.testing.assert_array_equal(np.asarray(b.eps), np.asarray(a.eps))
+    np.testing.assert_array_equal(np.asarray(b.cass), np.asarray(a.cass))
+
+
+@pytest.fixture(scope="module")
+def tall_na_setup(tmp_path_factory):
+    """Multi-lane-tile rows WITH phenotype NAs (shared_na=False): covers
+    the tiled kernel's per-trait na path."""
+    out = str(tmp_path_factory.mktemp("tallnadata"))
+    sim = simulate(out, n=2500, m=64, n_traits=2, n_causal=16, h2=0.5,
+                   n_groups=1, na_rate=0.03, seed=13)
+    opt = Options(bed_file=sim.bed, dim_file=sim.dim, phen_files=sim.phens,
+                  group_index_file=sim.gri, group_mixture_file=sim.grm,
+                  iterations=1, seed=5, block_size=32, wave_size=8,
+                  use_pallas=True, output_thin_rate=10 ** 9)
+    opt.validate()
+    opt.load_group_mixtures()
+    data = load_data(opt)
+    static = build_static(data, opt, jnp.float32)
+    state = init_sampler_state(data, opt, jnp.float32)
+    return opt, data, static, state
+
+
+def test_tiled_megakernel_with_nas(tall_na_setup, monkeypatch):
+    """Tiled mega-kernel vs composed with per-trait NA masks (NT = T)."""
+    monkeypatch.setattr(pk, "FORCE_INTERPRET", True)
+    monkeypatch.setattr(skw, "FORCE_INTERPRET", True)
+    monkeypatch.setattr(swk, "FORCE_INTERPRET", True)
+    monkeypatch.setattr(swk, "TILE_MAX_LANES", 1)
+    opt, data, static, state = tall_na_setup
+    shared_na = all(ph.nas == 0 for ph in data.phens)
+    assert not shared_na
+
+    outs = {}
+    for name, mega in (("composed", False), ("tiled", "tiled")):
+        s2, _ = gibbs_iteration(
+            state, static, jnp.asarray(2, jnp.int32),
+            block_size=opt.block_size, use_pallas=True,
+            shared_na=shared_na, wave_size=8, megakernel=mega,
+            gram_cached=False if not mega else None)
+        outs[name] = jax.device_get(s2)
+
+    a, b = outs["composed"], outs["tiled"]
+    np.testing.assert_array_equal(np.asarray(b.comp), np.asarray(a.comp))
+    np.testing.assert_array_equal(np.asarray(b.cass), np.asarray(a.cass))
+    np.testing.assert_allclose(np.asarray(b.betas), np.asarray(a.betas),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(b.eps), np.asarray(a.eps),
+                               rtol=1e-3, atol=2e-4)
