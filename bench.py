@@ -23,8 +23,9 @@ per-process tracing/compile-cache variance and could even go negative.)
 
 MEAS_ITERS is deep (100) because this device sits behind a ~25-30 ms
 dispatch tunnel: a 10-iteration batch measures ~3 ms/iter of tunnel
-latency on top of ~3.8 ms of device time (measured sweep: 6.75/5.25/
-4.34/3.88/3.75 ms per iter at batches 10/20/50/100/200).  Production
+latency on top of the true device time (round-3 sweep: 6.75/5.25/
+4.34/3.88/3.75 ms per iter at batches 10/20/50/100/200; the round-4
+in-kernel-prep kernel runs ~2.3 ms/iter at batch 100).  Production
 chains dispatch thousands of iterations between thin writes exactly like
 this loop (runner.py dispatches back-to-back without per-iteration
 syncs), so the deep batch reflects real steady-state throughput.

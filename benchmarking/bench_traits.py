@@ -41,18 +41,18 @@ def main(n=10_000, m=20_000, burn=40, meas=10, repeats=3):
             phen_files=[f"{out}/test{i+1}.phen" for i in range(t)],
             group_index_file=f"{out}/test.gri",
             group_mixture_file=f"{out}/test.grm",
-            iterations=1, seed=42, block_size=128, wave_size=16,
+            iterations=1, seed=42, block_size=128, wave_size=32,
             output_thin_rate=10 ** 9,
         )
         opt.validate()
         opt.load_group_mixtures()
-        data = load_data(opt)
+        data = load_data(opt, interleave=use_pallas)
         static = build_static(data, opt, jnp.float32)
         state = init_sampler_state(data, opt, jnp.float32)
         shared_na = all(ph.nas == 0 for ph in data.phens)
         step = make_gibbs_step(block_size=128, use_pallas=use_pallas,
                                donate=True, shared_na=shared_na,
-                               wave_size=16 if use_pallas else 1)
+                               wave_size=32 if use_pallas else 1)
         it = 1
         for _ in range(burn):
             state, _ = step(state, static, jnp.asarray(it, jnp.int32))

@@ -317,7 +317,7 @@ class ShardedOutputSet:
                     if n_rec is not None and os.path.exists(b + ".csv"):
                         g, k = opt.cva.shape
                         row_len = len(format_csv_record(
-                            0, np.zeros(g), 0.0, 0, np.zeros((g, k))))
+                            0, np.ones(g), 1.0, 0, np.ones((g, k))))
                         if os.path.getsize(b + ".csv") > n_rec * row_len:
                             os.truncate(b + ".csv", n_rec * row_len)
                 else:

