@@ -838,6 +838,9 @@ def sweep_blocks_pallas(
     mb_pad = bed.shape[1]
     assert mb_pad % _LANES == 0, "pad packed columns to the lane tile"
     assert bed.shape[0] == nblocks * B == m_pad
+    # The in-kernel win recovery (iota @ P) carries row indices through
+    # bf16, exact only for values <= 256.
+    assert B <= 256, "mega-kernel block size is limited to 256"
     if "call" in DEBUG_SKIP:
         # Profiling: XLA-glue-only floor — the kernel is not launched.
         z = jnp.zeros((T, m_pad), _F32)
@@ -1083,6 +1086,7 @@ def block_sweep_pallas(
     B, mb_pad = bed_blk.shape
     T = eps.shape[0]
     K, _, G = rd_tab.shape
+    assert B <= 256, "block size is limited to 256 (bf16 index carry)"
     call = _build_block_sweep_call(
         B, mb_pad, T, K, wave, G, bool(shared_na),
         resolve_interpret(interpret or FORCE_INTERPRET),
