@@ -62,6 +62,10 @@ def main():
             group_mixture_file=f"{data_dir}/test.grm",
             iterations=10, seed=42, out_dir=out_dir, block_size=16,
             output_thin_rate=2,
+            # The production pod configuration: wave mode + Pallas
+            # (interpret on CPU) engages the per-shard Gram cache and the
+            # fused per-block kernel across the REAL process boundary.
+            use_pallas=True, wave_size=4,
         )
         run_training_sharded(opt, verbose=False)
     print(f"worker {pid}: done", flush=True)

@@ -65,7 +65,7 @@ opt = Options(bed_file={data_dir!r} + "/test.bed",
               group_index_file={data_dir!r} + "/test.gri",
               group_mixture_file={data_dir!r} + "/test.grm",
               iterations=10, seed=42, out_dir={out_dir!r}, block_size=16,
-              output_thin_rate=2)
+              output_thin_rate=2, use_pallas=True, wave_size=4)
 run_training_sharded(opt, verbose=False)
 """
     subprocess.run([sys.executable, "-c", code], check=True, timeout=900)
