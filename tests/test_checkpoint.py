@@ -83,3 +83,26 @@ def test_sharded_resume_truncates_stale_rows(sim_small, tmp_path):
         a = open(os.path.join(full_dir, "test1" + suf), "rb").read()
         b = open(os.path.join(part_dir, "test1" + suf), "rb").read()
         assert a == b, f"{suf}: resumed artifact differs / stale rows"
+
+
+def test_resume_bit_identical_wave_mode(sim_small, tmp_path):
+    """Resume under the production wave mode: interleaved marker storage
+    (runner.interleave_order) must reproduce identically across the
+    checkpoint boundary — artifacts byte-identical to an uninterrupted
+    run."""
+    kw = dict(use_pallas=True, wave_size=4, block_size=16)
+    full_dir = str(tmp_path / "wfull")
+    run_training(_opts(sim_small, full_dir, 12, **kw), verbose=False)
+
+    part_dir = str(tmp_path / "wpart")
+    run_training(_opts(sim_small, part_dir, 6, checkpoint_every=3, **kw),
+                 verbose=False)
+    run_training(
+        _opts(sim_small, part_dir, 12, checkpoint_every=3, resume=True,
+              **kw),
+        verbose=False)
+
+    for suf in (".bet", ".cpn", ".csv"):
+        a = open(os.path.join(full_dir, "test1" + suf), "rb").read()
+        b = open(os.path.join(part_dir, "test1" + suf), "rb").read()
+        assert a == b, f"{suf}: wave-mode resume differs"
