@@ -465,6 +465,12 @@ def run_training_sharded(opt: Options, n_devices: int = 0,
 
     use_pallas = opt.use_pallas
     shared_na = all(ph.nas == 0 for ph in data.phens)
+    nblocks_shard = layout.m_pad_shard // opt.block_size
+    if (opt.wave_size > 1 and nblocks_shard < 64 and verbose
+            and jax.process_index() == 0):
+        print(f"WARNING: only {nblocks_shard} Gram blocks per shard for "
+              f"wave mode; on strongly LD-structured panels consider "
+              f"--wave-size 1 or a smaller --block-size.")
 
     # Per-shard Gram cache (VERDICT r3 item 1): the sharded sweep's
     # per-block Gram is iteration-invariant under the block-preserving

@@ -303,6 +303,15 @@ def run_training(opt: Options, verbose: bool = True) -> RunResult:
             for ph in data.phens:
                 print(f"INFO   : {ph.filepath} has {ph.nas} NAs and "
                       f"{ph.nonas} non-NAs.")
+    nblocks = data.m_pad // opt.block_size
+    if opt.wave_size > 1 and nblocks < 64 and verbose:
+        # Interleaved storage separates same-block markers by nblocks
+        # positions; with few blocks, extreme local LD can still
+        # destabilize the wave relaxation (benchmarking/LD_VALIDATION.md
+        # stress tests).  Production marker counts give hundreds+.
+        print(f"WARNING: only {nblocks} Gram blocks for wave mode; on "
+              f"strongly LD-structured panels consider --wave-size 1 or "
+              f"a smaller --block-size.")
     t0 = time.perf_counter()
     static = build_static(data, opt, dtype)
     jax.block_until_ready(static.msig)
