@@ -159,12 +159,24 @@ def load_data(
     )
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _stats_jit(dtype):
+    # jit wrapper: marker_stats_jax's eager scan would close over the bed
+    # array as a trace constant, recompiling per process and defeating
+    # the persistent compilation cache (same bug class fixed in
+    # predict.py round 4).
+    return jax.jit(functools.partial(marker_stats_jax, dtype=dtype))
+
+
 def build_static(data: LoadedData, opt: Options, dtype) -> StaticInputs:
     opt.resolve_compute_plan()
     bed = jnp.asarray(data.bed)
     na = jnp.asarray(data.na, dtype)
     nonas = jnp.asarray(data.nonas, dtype)
-    mave, msig = marker_stats_jax(bed, na, nonas, dtype=dtype)
+    mave, msig = _stats_jit(dtype)(bed, na, nonas)
     # Zero out stats on pad rows (all-missing decode gives sb = 0 -> NaN).
     valid = (jnp.arange(data.m_pad) < data.m_local)[None, :]
     mave = jnp.where(valid, mave, 0.0)
