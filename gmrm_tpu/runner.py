@@ -8,6 +8,7 @@ execution lives in gmrm_tpu.parallel.runner and reuses everything here.
 
 from __future__ import annotations
 
+import functools
 import os
 import time
 from dataclasses import dataclass, field
@@ -157,9 +158,6 @@ def load_data(
         out_basenames=[stem(fp) for fp in opt.phen_files],
         inv_order=inv_order,
     )
-
-
-import functools
 
 
 @functools.lru_cache(maxsize=None)
