@@ -114,3 +114,30 @@ def main_raise(sim, out, ref_bim):
         "--ref-bim-file", ref_bim, "--out-dir", out,
     ])
     run_predict(options_from_args(args), verbose=False)
+
+
+def test_predict_parity_vs_compiled_reference():
+    """Field-level .mlma parity against the compiled reference binary
+    (src/bayes.cpp:16-284): the full harness at example scale — train
+    once, run both --predicts on the same .bet, compare beta/t/se/p and
+    framing, in both the all-kept and ids-renamed/excluded scenarios."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    binary = os.path.join(repo, "baseline", "build", "gmrm_ref")
+    if not os.path.exists(binary):
+        r = subprocess.run(["make", "-C", os.path.join(repo, "baseline")],
+                           capture_output=True, timeout=300)
+        if r.returncode != 0:
+            pytest.skip("reference binary unavailable "
+                        "(baseline build failed)")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "benchmarking",
+                                      "predict_parity.py"),
+         "--quick", "--no-report", "--n", "500", "--m", "400"],
+        capture_output=True, text=True, timeout=600, cwd=repo)
+    assert proc.returncode == 0, \
+        f"predict parity failed:\n{proc.stdout[-4000:]}\n" \
+        f"{proc.stderr[-2000:]}"
+    assert "Predict parity: PASS" in proc.stdout
