@@ -57,18 +57,34 @@ def main():
     print(f"# backend={jax.default_backend()} N={N} MT={MT} T={TRAITS} "
           f"block={args.block} wave={args.wave}", flush=True)
 
-    # Agreement gate: the mega kernel fuses the residual update in-kernel,
-    # so the like-for-like oracle is the composed path with the fused
-    # update (pallas_upd=True) — measured bit-identical on device
-    # 2026-08-21.  (Against the XLA update the chains drift at the known
-    # ~1e-4 rounding level and comp choices chaotically flip.)
+    # Above the mega kernel's VMEM ceiling (B > ~256 at this mb_pad —
+    # the (2B)^2 Gram quadrants alone are 4 MB at B=512) the production
+    # auto-plan runs the COMPOSED cached-Gram path; gate that against
+    # the independent Gram-recompute variant instead.
+    from gmrm_tpu.ops.sweep_kernel import vmem_fits, vmem_fits_tiled
+    mb_pad = static.bed.shape[1]
+    fast_is_mega = (vmem_fits(TRAITS, args.block, mb_pad)
+                    or vmem_fits_tiled(TRAITS, args.block, mb_pad))
+    fast_kw = (dict(megakernel=True) if fast_is_mega
+               else dict(megakernel=False, gram_cached=True))
+    fast_name = "mega" if fast_is_mega else "composed-cached"
+    print(f"# fast path under test: {fast_name}", flush=True)
+
+    # Agreement gate.  Mega fuses the residual update in-kernel, so its
+    # like-for-like oracle is the composed path with the fused update
+    # (pallas_upd=True) — measured bit-identical on device 2026-08-21.
+    # (Against the XLA update the chains drift at the known ~1e-4
+    # rounding level and comp choices chaotically flip.)  When gating
+    # the composed-cached path instead (B above the mega VMEM ceiling),
+    # the oracle keeps the DEFAULT update and only swaps cache ->
+    # per-iteration Gram recompute, so the gate isolates the cache.
     step_comp = make_gibbs_step(
         block_size=opt.block_size, use_pallas=True, donate=False,
         shared_na=shared_na, wave_size=args.wave, megakernel=False,
-        pallas_upd=True)
+        gram_cached=False, pallas_upd=fast_is_mega)
     step_mega = make_gibbs_step(
         block_size=opt.block_size, use_pallas=True, donate=False,
-        shared_na=shared_na, wave_size=args.wave, megakernel=True)
+        shared_na=shared_na, wave_size=args.wave, **fast_kw)
 
     # ---- numeric agreement on device (2 chained iterations) ----
     t0 = time.perf_counter()
@@ -101,7 +117,7 @@ def main():
         pallas_upd=True)
     donate_mega = make_gibbs_step(
         block_size=opt.block_size, use_pallas=True, donate=True,
-        shared_na=shared_na, wave_size=args.wave, megakernel=True)
+        shared_na=shared_na, wave_size=args.wave, **fast_kw)
 
     it = 1
     state = state0
@@ -111,14 +127,14 @@ def main():
     jax.block_until_ready(state.sigmae)
     print(f"# burn-in {args.burn} iters done", flush=True)
 
-    names = ("composed", "composed-fused-upd", "mega")
+    names = ("composed", "composed-fused-upd", fast_name)
     results = {n: [] for n in names}
     # donated steps consume their input buffers: each variant needs its
     # own copy of the burned-in state
     host_state = jax.device_get(state)
     states = {n: jax.device_put(host_state) for n in names}
     steps = {"composed": donate_comp, "composed-fused-upd": donate_comp_fu,
-             "mega": donate_mega}
+             fast_name: donate_mega}
     for rep in range(args.repeats):
         for name in names:
             st = states[name]

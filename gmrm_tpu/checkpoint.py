@@ -26,21 +26,67 @@ def checkpoint_path(out_dir: str) -> str:
     return os.path.join(out_dir, "checkpoint.npz")
 
 
+_LAYOUT_KEYS = ("block_size", "wave_size", "interleave")
+
+
+def layout_of(opt) -> dict:
+    """The marker-STORAGE layout a run's state arrays are laid out in.
+
+    ``interleave`` (on whenever wave mode is active) reorders
+    betas/comp/acum rows via runner.interleave_order, whose permutation
+    depends on nblocks = m_pad // block_size — so state saved under one
+    (block_size, interleave) silently misaligns against a run resolved
+    with another.  Stamped into every checkpoint; load fails loudly on
+    mismatch instead of continuing a corrupted chain."""
+    opt.resolve_compute_plan()
+    return {"block_size": int(opt.block_size),
+            "wave_size": int(opt.wave_size or 1),
+            "interleave": int((opt.wave_size or 1) > 1)}
+
+
+def check_layout(path: str, z, expect: Optional[dict]) -> None:
+    if expect is None:
+        return
+    if "layout_block_size" not in getattr(z, "files", z):
+        if expect["interleave"]:
+            raise ValueError(
+                f"{path}: checkpoint predates layout stamping (written "
+                f"in original marker order) but the current run uses "
+                f"block-interleaved storage (wave_size="
+                f"{expect['wave_size']}).  Resume with --wave-size 1 "
+                f"to match the checkpoint's storage order.")
+        return
+    got = {k: int(z[f"layout_{k}"]) for k in _LAYOUT_KEYS}
+    if got != expect:
+        raise ValueError(
+            f"{path}: checkpoint marker-storage layout {got} does not "
+            f"match the current run's {expect}; resuming would misalign "
+            f"betas/comp/acum against the re-ordered genotype matrix.  "
+            f"Pass matching --block-size/--wave-size to resume this "
+            f"chain.")
+
+
 def save_checkpoint(path: str, state: SamplerState, it: int,
-                    beta_acc: Optional[np.ndarray], n_rec: int) -> None:
+                    beta_acc: Optional[np.ndarray], n_rec: int,
+                    layout: Optional[dict] = None) -> None:
     arrays = {f: np.asarray(getattr(state, f)) for f in _FIELDS}
     arrays["it"] = np.asarray(it)
     arrays["n_rec"] = np.asarray(n_rec)
     if beta_acc is not None:
         arrays["beta_acc"] = beta_acc
+    for k in _LAYOUT_KEYS:
+        if layout is not None:
+            arrays[f"layout_{k}"] = np.asarray(layout[k])
     tmp = path + ".tmp.npz"
     np.savez(tmp, **arrays)
     os.replace(tmp, path)
 
 
-def load_checkpoint(path: str, dtype=jnp.float32
+def load_checkpoint(path: str, dtype=jnp.float32,
+                    expect_layout: Optional[dict] = None,
                     ) -> Tuple[SamplerState, int, Optional[np.ndarray], int]:
     with np.load(path) as z:
+        check_layout(path, z, expect_layout)
         kw = {}
         for f in _FIELDS:
             arr = z[f]

@@ -157,6 +157,27 @@ def format_csv_record(
     return "".join(parts)
 
 
+def truncate_csv_to(path: str, n_rec: int) -> None:
+    """Truncate a .csv chain to its first ``n_rec`` rows by scanning
+    newline offsets.  Rows WIDEN once iteration exceeds %5d or m0_sum
+    exceeds %7d (faithful to the reference's variable-width positioned
+    writes, xfiles.cpp:17-45), so ``n_rec * probed_width`` is not a safe
+    truncation point — count actual line ends instead."""
+    if not os.path.exists(path):
+        return
+    with open(path, "rb") as fh:
+        data = fh.read()
+    pos, count = 0, 0
+    while count < n_rec:
+        nxt = data.find(b"\n", pos)
+        if nxt < 0:
+            return                       # fewer complete rows than n_rec
+        pos = nxt + 1
+        count += 1
+    if pos < len(data):
+        os.truncate(path, pos)
+
+
 def write_csv_record(path: str, rec: int, text: str) -> None:
     """Positioned write at rec * len(row) (constant-width rows, xfiles.cpp:45)."""
     mode = "r+b" if os.path.exists(path) else "wb"

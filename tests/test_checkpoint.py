@@ -106,3 +106,89 @@ def test_resume_bit_identical_wave_mode(sim_small, tmp_path):
         a = open(os.path.join(full_dir, "test1" + suf), "rb").read()
         b = open(os.path.join(part_dir, "test1" + suf), "rb").read()
         assert a == b, f"{suf}: wave-mode resume differs"
+
+
+def test_single_device_resume_truncates_stale_rows(sim_small, tmp_path):
+    """The SINGLE-device analog of the sharded stale-row test (ADVICE r4
+    medium 1): checkpoint at it=8, crash after it=14, resume to it=10 —
+    rows past the checkpoint must not survive; artifacts byte-identical
+    to an uninterrupted 10-iteration run."""
+    full_dir = str(tmp_path / "ofull")
+    run_training(_opts(sim_small, full_dir, 10), verbose=False)
+
+    part_dir = str(tmp_path / "opart")
+    run_training(_opts(sim_small, part_dir, 14, checkpoint_every=8),
+                 verbose=False)
+    run_training(
+        _opts(sim_small, part_dir, 10, checkpoint_every=8, resume=True),
+        verbose=False)
+
+    for suf in (".bet", ".cpn", ".csv"):
+        a = open(os.path.join(full_dir, "test1" + suf), "rb").read()
+        b = open(os.path.join(part_dir, "test1" + suf), "rb").read()
+        assert a == b, f"{suf}: resumed artifact differs / stale rows"
+
+
+def test_resume_layout_mismatch_fails_loudly(sim_small, tmp_path):
+    """Checkpoints stamp the marker-STORAGE layout (block_size /
+    wave_size / interleave); resuming under a different layout must fail
+    loudly instead of silently misaligning state against the
+    re-interleaved bed (ADVICE r4 medium 2)."""
+    import pytest
+
+    out = str(tmp_path / "lay")
+    run_training(_opts(sim_small, out, 6, checkpoint_every=3,
+                       use_pallas=True, wave_size=4, block_size=16),
+                 verbose=False)
+    with pytest.raises(ValueError, match="storage layout"):
+        run_training(_opts(sim_small, out, 12, checkpoint_every=3,
+                           resume=True, wave_size=1, block_size=16),
+                     verbose=False)
+    with pytest.raises(ValueError, match="storage layout"):
+        run_training(_opts(sim_small, out, 12, checkpoint_every=3,
+                           resume=True, use_pallas=True, wave_size=4,
+                           block_size=32),
+                     verbose=False)
+
+
+def test_legacy_checkpoint_without_layout_stamp(sim_small, tmp_path):
+    """Pre-stamp checkpoints (original marker order) load fine under
+    original-order runs but are refused when the current run would
+    re-interleave storage."""
+    import pytest
+    import numpy as np
+
+    out = str(tmp_path / "legacy")
+    run_training(_opts(sim_small, out, 6, checkpoint_every=3, wave_size=1),
+                 verbose=False)
+    ck = os.path.join(out, "checkpoint.npz")
+    with np.load(ck) as z:
+        arrays = {k: z[k] for k in z.files if not k.startswith("layout_")}
+    np.savez(ck, **arrays)                       # strip the stamp
+
+    res = run_training(_opts(sim_small, out, 8, checkpoint_every=3,
+                             resume=True, wave_size=1), verbose=False)
+    assert res.iters_run == 2                    # resumed from it=6
+
+    np.savez(ck, **arrays)
+    with pytest.raises(ValueError, match="predates layout stamping"):
+        run_training(_opts(sim_small, out, 8, resume=True, use_pallas=True,
+                           wave_size=4, block_size=16), verbose=False)
+
+
+def test_truncate_csv_variable_width(tmp_path):
+    """truncate_csv_to must survive rows of DIFFERENT widths (iteration
+    crossing %5d, m0_sum crossing %7d — ADVICE r4 low 5)."""
+    from gmrm_tpu.io.writers import truncate_csv_to
+
+    p = str(tmp_path / "x.csv")
+    rows = [b"    1, short row\n",
+            b"100000, wider row because iteration overflowed %5d field\n",
+            b"100001, w\n",
+            b"100002, stale tail row\n"]
+    with open(p, "wb") as fh:
+        fh.write(b"".join(rows))
+    truncate_csv_to(p, 3)
+    assert open(p, "rb").read() == b"".join(rows[:3])
+    truncate_csv_to(p, 99)                       # fewer rows than asked: noop
+    assert open(p, "rb").read() == b"".join(rows[:3])

@@ -103,3 +103,69 @@ def test_compute_plan_auto_selection():
     o.resolve_compute_plan()
     o.resolve_compute_plan()
     assert o.wave_size == 16
+
+
+def test_compute_knob_validation(sim_small):
+    """--wave-size 0 and oversized --block-size with wave mode must fail
+    as OptionsError at validate() time, not as ZeroDivisionError /
+    in-kernel AssertionError later (ADVICE r4 low 3)."""
+    import pytest
+    from gmrm_tpu.config import Options, OptionsError
+
+    def opts(**kw):
+        return Options(bed_file=sim_small.bed, dim_file=sim_small.dim,
+                       phen_files=[sim_small.phens[0]],
+                       group_index_file=sim_small.gri,
+                       group_mixture_file=sim_small.grm, **kw)
+
+    with pytest.raises(OptionsError, match="wave-size"):
+        opts(wave_size=0).validate()
+    with pytest.raises(OptionsError, match="block-size above 1024"):
+        opts(block_size=2048, use_pallas=True, wave_size=32).validate()
+    # Legal escapes: XLA path or exact-serial recursion have no ceiling.
+    opts(block_size=2048, use_pallas=False).validate()
+    opts(block_size=2048, wave_size=1).validate()
+    # B=512 now validates (VERDICT r4 item 2).
+    opts(block_size=512, use_pallas=True, wave_size=32).validate()
+
+
+def test_wave_guard_auto_downgrade():
+    """An AUTO-selected wave must fall back to exact-serial W=1 on
+    panels with too few Gram blocks (the LD_VALIDATION.md stress regime
+    where W=32 can diverge); an EXPLICIT wave keeps the user's choice
+    (VERDICT r4 weak 1)."""
+    from gmrm_tpu.config import Options
+
+    # auto plan on a small panel: downgraded
+    o = Options(use_pallas=True, block_size=128)
+    o.resolve_compute_plan()
+    assert o.wave_size == 32 and o.wave_auto
+    nb = o.guard_wave_blocks(2048, verbose=False)    # 16 blocks
+    assert nb == 16 and o.wave_size == 1
+
+    # auto plan on a production-size panel: untouched
+    o = Options(use_pallas=True, block_size=128)
+    o.resolve_compute_plan()
+    o.guard_wave_blocks(20000, verbose=False)        # 157 blocks
+    assert o.wave_size == 32
+
+    # explicit wave on a small panel: kept (warned, and the divergence
+    # guard still protects the chain)
+    o = Options(use_pallas=True, block_size=128, wave_size=32)
+    o.resolve_compute_plan()
+    o.guard_wave_blocks(2048, verbose=False)
+    assert o.wave_size == 32
+
+
+def test_divergence_guard_raises():
+    """Non-finite sigmaG/sigmaE fails loudly with remediation advice
+    instead of writing NaN chains (VERDICT r4 weak 1)."""
+    import numpy as np
+    import pytest
+    from gmrm_tpu.runner import check_finite_chain
+
+    check_finite_chain(np.ones((2, 3)), np.ones(2), 5)   # fine
+    with pytest.raises(FloatingPointError, match="wave-size 1"):
+        check_finite_chain(np.array([[np.nan, 1.0]]), np.ones(1), 5)
+    with pytest.raises(FloatingPointError, match="diverged"):
+        check_finite_chain(np.ones((1, 2)), np.array([np.inf]), 5)
