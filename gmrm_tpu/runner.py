@@ -298,20 +298,30 @@ class OutputSet:
             self.cpn[ti].write_record(it, comp[ti, :ml], start=s, rec=rec)
 
 
+_SIGMA_DIVERGED = 1.0e6
+
+
 def check_finite_chain(sigmag, sigmae, it: int) -> None:
-    """In-chain divergence guard (VERDICT r4 weak 1): a NaN/Inf variance
-    means every subsequent draw is garbage — fail loudly with remediation
-    advice instead of writing NaN chains.  Costs nothing extra: called
-    only where the hypers are already host-fetched (thin boundaries)."""
-    sg = np.asarray(sigmag)
-    se = np.asarray(sigmae)
-    if not (np.isfinite(sg).all() and np.isfinite(se).all()):
+    """In-chain divergence guard (VERDICT r4 weak 1): a divergent chain
+    writes garbage from then on — fail loudly with remediation advice
+    instead.  Phenotypes are always centered AND scaled (io/phen.py, the
+    reference does the same, phenotype.cpp:578-607), so valid chains
+    have sigmaE + sum sigmaG ~ 1; a variance beyond 1e6 (or NaN/Inf) is
+    unambiguous geometric blow-up, caught long before f32 overflow.
+    Costs nothing extra: called only where the hypers are already
+    host-fetched (thin boundaries + end of chain)."""
+    sg = np.asarray(sigmag, np.float64)
+    se = np.asarray(sigmae, np.float64)
+    bad = (not (np.isfinite(sg).all() and np.isfinite(se).all())
+           or se.max(initial=0.0) > _SIGMA_DIVERGED
+           or sg.max(initial=0.0) > _SIGMA_DIVERGED)
+    if bad:
         raise FloatingPointError(
-            f"FATAL  : chain diverged by iteration {it} (non-finite "
-            f"sigmaG/sigmaE).  On small panels with extreme local LD the "
-            f"wave relaxation can be unstable — rerun with --wave-size 1 "
-            f"(the exact-serial recursion) or a smaller --block-size; "
-            f"see benchmarking/LD_VALIDATION.md."
+            f"FATAL  : chain diverged by iteration {it} (non-finite or "
+            f"exploding sigmaG/sigmaE).  On small panels with extreme "
+            f"local LD the wave relaxation can be unstable — rerun with "
+            f"--wave-size 1 (the exact-serial recursion) or a smaller "
+            f"--block-size; see benchmarking/LD_VALIDATION.md."
         )
 
 

@@ -169,3 +169,36 @@ def test_divergence_guard_raises():
         check_finite_chain(np.array([[np.nan, 1.0]]), np.ones(1), 5)
     with pytest.raises(FloatingPointError, match="diverged"):
         check_finite_chain(np.ones((1, 2)), np.array([np.inf]), 5)
+
+
+def test_ld_stress_defaults_safe():
+    """The LD_VALIDATION.md stress case (rho=0.99, M=2048 -> 16 Gram
+    blocks, where W=32 diverges) under PURE DEFAULTS: the auto plan
+    downgrades to W=1 and the chain completes finite; an explicit
+    --wave-size 32 fails loudly via the divergence guard instead of
+    writing garbage (VERDICT r4 item 4)."""
+    import numpy as np
+    import pytest
+    from gmrm_tpu.config import Options
+    from gmrm_tpu.io.sim import simulate
+    from gmrm_tpu.runner import run_training
+
+    sim = simulate("/tmp/gmrm_ldstress_test", n=1500, m=2048, n_traits=1,
+                   n_causal=256, h2=0.6, n_groups=2, na_rate=0.0, seed=99,
+                   ld_rho=0.99)
+
+    def opts(iters, **kw):
+        return Options(bed_file=sim.bed, dim_file=sim.dim,
+                       phen_files=sim.phens, group_index_file=sim.gri,
+                       group_mixture_file=sim.grm, iterations=iters,
+                       seed=7, out_dir="", use_pallas=True, **kw)
+
+    o = opts(30)                      # wave unset = device default (auto)
+    res = run_training(o, verbose=False)
+    assert o.wave_size == 1           # guard downgraded before the chain
+    se = np.asarray(res.state.sigmae)
+    assert np.isfinite(se).all() and se.max() < 10
+
+    with pytest.raises(FloatingPointError, match="diverged"):
+        run_training(opts(80, wave_size=32, block_size=128),
+                     verbose=False)
