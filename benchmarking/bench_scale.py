@@ -53,6 +53,9 @@ def main():
     ap.add_argument("--burn", type=int, default=30)
     ap.add_argument("--meas", type=int, default=50)
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--cache-dir", default="",
+                    help="persist/warm-load stats + Gram (startup "
+                         "column measurements)")
     args = ap.parse_args()
 
     import jax
@@ -69,16 +72,24 @@ def main():
         group_index_file=f"{data_dir}/test.gri",
         group_mixture_file=f"{data_dir}/test.grm",
         iterations=1, seed=42, block_size=args.block, wave_size=args.wave,
-        output_thin_rate=10 ** 9,
+        output_thin_rate=10 ** 9, cache_dir=args.cache_dir,
     )
     opt.validate()
     opt.load_group_mixtures()
 
+    warm_cache = bool(args.cache_dir and os.path.isdir(args.cache_dir)
+                      and any(f.startswith("startup_")
+                              for f in os.listdir(args.cache_dir)))
     t0 = time.perf_counter()
     data = load_data(opt, interleave=args.wave > 1)
-    static = build_static(data, opt, jnp.float32)
+    t_load = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    static = build_static(data, opt, jnp.float32, verbose=True)
+    jax.block_until_ready(static.msig)
+    t_static = time.perf_counter() - t0
+    t0 = time.perf_counter()
     state = init_sampler_state(data, opt, jnp.float32)
-    load_s = time.perf_counter() - t0
+    load_s = t_load + t_static + (time.perf_counter() - t0)
     use_pallas = jax.default_backend() not in ("cpu",)
     shared_na = all(ph.nas == 0 for ph in data.phens)
     step = make_gibbs_step(block_size=args.block, use_pallas=use_pallas,
@@ -87,11 +98,16 @@ def main():
 
     it = 1
     t0 = time.perf_counter()
-    for _ in range(args.burn):
+    state, _ = step(state, static, jnp.asarray(it, jnp.int32))
+    jax.block_until_ready(state.sigmae)
+    t_compile = time.perf_counter() - t0       # first step incl. compile
+    it += 1
+    t0 = time.perf_counter()
+    for _ in range(args.burn - 1):
         state, _ = step(state, static, jnp.asarray(it, jnp.int32))
         it += 1
     jax.block_until_ready(state.sigmae)
-    burn_s = time.perf_counter() - t0
+    burn_s = time.perf_counter() - t0 + t_compile
 
     best = float("inf")
     for _ in range(args.repeats):
@@ -113,6 +129,10 @@ def main():
         "iter_ms": round(best * 1000, 2),
         "markers_per_s": round(args.m / best, 1),
         "load_s": round(load_s, 1),
+        "load_data_s": round(t_load, 1),
+        "build_static_s": round(t_static, 1),
+        "first_step_s": round(t_compile, 1),
+        "warm_cache": warm_cache,
         "burn_s_per_iter": round(burn_s / max(args.burn, 1), 3),
         "hbm_bytes_in_use": hbm,
         "backend": jax.default_backend(),

@@ -99,10 +99,17 @@ def run_chain(sim, seed, wave, iters):
 
 
 def main():
+    global N, M, RHO
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=400)
     ap.add_argument("--seeds", type=int, default=3)
+    ap.add_argument("--n", type=int, default=N,
+                    help="individuals (production-shape rows: --n 10000 "
+                         "--m 100000, VERDICT r4 item 7)")
+    ap.add_argument("--m", type=int, default=M)
+    ap.add_argument("--rho", type=float, default=RHO)
     args = ap.parse_args()
+    N, M, RHO = args.n, args.m, args.rho
 
     from gmrm_tpu.io.sim import simulate
     tmp = f"/tmp/gmrm_ld_{N}x{M}_{TRAITS}"

@@ -66,6 +66,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "reference, which cannot resume)")
     p.add_argument("--resume", action="store_true",
                    help="resume from <out-dir>/checkpoint.npz if present")
+    p.add_argument("--cache-dir", default="",
+                   help="persist marker stats + Gram cache here, keyed "
+                        "by dataset content + geometry (warm startup "
+                        "across runs of the same dataset)")
     return p
 
 
@@ -94,6 +98,7 @@ def options_from_args(args) -> Options:
         use_pallas=None if args.use_pallas < 0 else bool(args.use_pallas),
         checkpoint_every=args.checkpoint_every,
         resume=args.resume,
+        cache_dir=args.cache_dir,
     )
 
 

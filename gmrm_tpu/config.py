@@ -55,6 +55,10 @@ class Options:
     n_devices: int = 0              # 0 = all visible devices
     checkpoint_every: int = 0       # 0 = no checkpointing (improvement over ref)
     resume: bool = False
+    cache_dir: str = ""             # persist marker stats + Gram cache
+                                    # across runs of the same dataset
+                                    # ("" = rebuild each run, like the
+                                    # reference)
 
     # Parsed group-mixture matrices (set by load_group_mixtures)
     cva: Optional[np.ndarray] = None    # (G, K) mixture variances

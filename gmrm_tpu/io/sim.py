@@ -16,6 +16,11 @@ import numpy as np
 
 from gmrm_tpu.io.bed import write_bed
 
+# Datasets up to this many genotype cells are generated in memory; larger
+# ones stream marker chunks (tests shrink it to exercise the chunked
+# path at toy sizes).
+INMEM_LIMIT = 200_000_000
+
 
 @dataclass
 class SimResult:
@@ -61,23 +66,28 @@ def simulate(
     paths = {}
     bed_path = os.path.join(out_dir, f"{prefix}.bed")
 
-    if ld_rho > 0.0 and m * n > 200_000_000:
-        raise NotImplementedError("ld_rho requires the in-memory path")
+    def ld_dosage_chunk(z, count):
+        """Continue the Gaussian-copula AR(1) haplotype chain for
+        ``count`` markers from latent state ``z`` ((2, n) or None) ->
+        (dosage (count, n) uint8, new state).  The chain is Markov in z,
+        so it streams across marker chunks with O(n) carried state —
+        the chunked path generates LD at ANY M with the same draw
+        sequence as the in-memory path."""
+        from statistics import NormalDist
+        thresh = NormalDist().inv_cdf(maf)
+        rr = np.sqrt(1.0 - ld_rho * ld_rho)
+        hap = np.empty((2, n, count), np.uint8)
+        for j in range(count):
+            z = (rng.normal(size=(2, n)) if z is None
+                 else ld_rho * z + rr * rng.normal(size=(2, n)))
+            hap[:, :, j] = z < thresh
+        return hap.sum(axis=0).T.astype(np.uint8), z    # (count, N)
 
-    if m * n <= 200_000_000:
+    if m * n <= INMEM_LIMIT:
         # Genotype codes on the dosage scale {0,1,2}; bed code mapping:
         # dosage 2 -> code 0, dosage 1 -> code 2, dosage 0 -> code 3.
         if ld_rho > 0.0:
-            from statistics import NormalDist
-            thresh = NormalDist().inv_cdf(maf)
-            rr = np.sqrt(1.0 - ld_rho * ld_rho)
-            hap = np.empty((2, n, m), np.uint8)
-            z = rng.normal(size=(2, n))
-            hap[:, :, 0] = z < thresh
-            for j in range(1, m):
-                z = ld_rho * z + rr * rng.normal(size=(2, n))
-                hap[:, :, j] = z < thresh
-            dosage = hap.sum(axis=0).T.astype(np.uint8)   # (M, N)
+            dosage, _ = ld_dosage_chunk(None, m)          # (M, N)
         else:
             dosage = rng.binomial(2, maf, size=(m, n)).astype(np.uint8)
         code = np.where(dosage == 2, 0,
@@ -99,20 +109,28 @@ def simulate(
     else:
         # Large-scale path: stream marker chunks so peak memory stays
         # ~O(chunk x N) regardless of M (UKB-scale sims).  Effects are
-        # drawn first (the small path's RNG stream is not reproduced;
-        # large configs have no fixtures pinned to it).
+        # needed during streaming, so they come from a SEPARATE
+        # deterministic generator — the main rng then spends exactly the
+        # same draw sequence on genotypes as the in-memory path, making
+        # the .bed bytes chunk-invariant (tested for the LD chain).
+        rng_eff = np.random.default_rng([seed, 17])
         beta = np.zeros((m, n_traits))
-        causal = rng.choice(m, size=n_causal, replace=False)
-        beta[causal] = rng.normal(0.0, np.sqrt(h2 / n_causal),
-                                  size=(n_causal, n_traits))
+        causal = rng_eff.choice(m, size=n_causal, replace=False)
+        beta[causal] = rng_eff.normal(0.0, np.sqrt(h2 / n_causal),
+                                      size=(n_causal, n_traits))
         g = np.zeros((n, n_traits))
-        chunk = max(1, 200_000_000 // n)
+        chunk = max(1, INMEM_LIMIT // n)
+        z_state = None
         with open(bed_path, "wb") as fh:
             from gmrm_tpu.io.bed import BED_MAGIC, pack_codes
             fh.write(BED_MAGIC)
             for s in range(0, m, chunk):
                 e = min(m, s + chunk)
-                dosage = rng.binomial(2, maf, size=(e - s, n)).astype(np.uint8)
+                if ld_rho > 0.0:
+                    dosage, z_state = ld_dosage_chunk(z_state, e - s)
+                else:
+                    dosage = rng.binomial(
+                        2, maf, size=(e - s, n)).astype(np.uint8)
                 xm = dosage.astype(np.float64)
                 mu = xm.mean(axis=1, keepdims=True)
                 sd = xm.std(axis=1, ddof=1, keepdims=True)

@@ -169,33 +169,92 @@ def _stats_jit(dtype):
     return jax.jit(functools.partial(marker_stats_jax, dtype=dtype))
 
 
-def build_static(data: LoadedData, opt: Options, dtype) -> StaticInputs:
+def _startup_cache_key(data: LoadedData, opt: Options, dtype,
+                       want_gram: bool) -> str:
+    """Content+geometry fingerprint for the persisted startup artifacts.
+
+    Bed content is fingerprinted by (size, mtime, first+last MiB) — a
+    full hash of a UKB-scale bed costs minutes, defeating the cache;
+    phen files are small and hashed in full (they set the NA masks the
+    stats/Gram depend on).  Geometry covers everything that changes the
+    stored marker ORDER or array shapes: shard range, padding, block
+    size, interleave, dtype, NT axis."""
+    import hashlib
+    h = hashlib.sha256()
+    st = os.stat(opt.bed_file)
+    h.update(f"bed:{st.st_size}:{st.st_mtime_ns};".encode())
+    with open(opt.bed_file, "rb") as fh:
+        h.update(fh.read(1 << 20))
+        if st.st_size > (1 << 20):
+            fh.seek(max(st.st_size - (1 << 20), 0))
+            h.update(fh.read(1 << 20))
+    for fp in opt.phen_files:
+        with open(fp, "rb") as fh:
+            h.update(fh.read())
+    shared_na = all(ph.nas == 0 for ph in data.phens)
+    h.update(repr((data.n, data.m_local, data.s_local, data.m_pad,
+                   data.mb_pad, opt.block_size,
+                   data.inv_order is not None, str(jnp.dtype(dtype)),
+                   shared_na, want_gram)).encode())
+    return h.hexdigest()[:32]
+
+
+def build_static(data: LoadedData, opt: Options, dtype,
+                 verbose: bool = False) -> StaticInputs:
     opt.resolve_compute_plan()
     bed = jnp.asarray(data.bed)
     na = jnp.asarray(data.na, dtype)
     nonas = jnp.asarray(data.nonas, dtype)
-    mave, msig = _stats_jit(dtype)(bed, na, nonas)
-    # Zero out stats on pad rows (all-missing decode gives sb = 0 -> NaN).
-    valid = (jnp.arange(data.m_pad) < data.m_local)[None, :]
-    mave = jnp.where(valid, mave, 0.0)
-    msig = jnp.where(valid, msig, 0.0)
-    # Precompute the per-block raw Gram for the mega-kernel path (X and
-    # block membership are iteration-invariant under the block-preserving
-    # shuffle): one O(M N B) pass here turns the per-iteration Gram into
-    # an O(M B^2) cache load (ops/sweep_kernel.py).  ~M*2048/B bytes.
+    # The cached-Gram kernels consume the per-block raw Gram whenever
+    # block mode is on (same criterion as the runners' shared_na hint).
+    shared_na = all(ph.nas == 0 for ph in data.phens)
+    want_gram = (dtype == jnp.float32 and opt.wave_size > 1
+                 and opt.use_pallas is not False
+                 and opt.block_size % opt.wave_size == 0)
+
+    # --- on-disk startup cache (--cache-dir): stats + Gram persist
+    # across runs of the same dataset/geometry.  The builds are
+    # O(Mt N B) — minutes at UKB scale (SCALE.md startup column) — while
+    # a warm load is one npz read.  No reference analog (it recomputes
+    # stats every run, phenotype.cpp:466-534).
+    cache_path = mave = msig = None
     gram_cache = None
-    if (dtype == jnp.float32 and opt.wave_size > 1
-            and opt.use_pallas is not False
-            and opt.block_size % opt.wave_size == 0):
-        # Built for EVERY block-mode run (not just when the mega-kernel
-        # fits VMEM): the cached-Gram composed path consumes it too,
-        # removing the per-iteration O(Mt N B) Gram recompute at any N.
-        from gmrm_tpu.ops.sweep_kernel import build_gram_cache
-        # Same criterion the runners use for the step's shared_na
-        # static hint — the cache NT axis must match it.
-        shared_na = all(ph.nas == 0 for ph in data.phens)
-        gram_cache = build_gram_cache(
-            bed, na, block_size=opt.block_size, shared_na=shared_na)
+    if opt.cache_dir:
+        os.makedirs(opt.cache_dir, exist_ok=True)
+        key = _startup_cache_key(data, opt, dtype, want_gram)
+        cache_path = os.path.join(opt.cache_dir, f"startup_{key}.npz")
+        if os.path.exists(cache_path):
+            with np.load(cache_path) as z:
+                mave = jnp.asarray(z["mave"], dtype)
+                msig = jnp.asarray(z["msig"], dtype)
+                if "gram" in z.files:
+                    gram_cache = jnp.asarray(z["gram"], jnp.float32)
+            if verbose:
+                print(f"INFO   : warm startup from {cache_path}")
+
+    if mave is None:
+        mave, msig = _stats_jit(dtype)(bed, na, nonas)
+        # Zero stats on pad rows (all-missing decode gives sb=0 -> NaN).
+        valid = (jnp.arange(data.m_pad) < data.m_local)[None, :]
+        mave = jnp.where(valid, mave, 0.0)
+        msig = jnp.where(valid, msig, 0.0)
+        # Precompute the per-block raw Gram for the fused paths (X and
+        # block membership are iteration-invariant under the
+        # block-preserving shuffle): one O(M N B) pass here turns the
+        # per-iteration Gram into an O(M B^2) cache load
+        # (ops/sweep_kernel.py).  Built for EVERY block-mode run — the
+        # cached-Gram composed path consumes it too.
+        if want_gram:
+            from gmrm_tpu.ops.sweep_kernel import build_gram_cache
+            gram_cache = build_gram_cache(
+                bed, na, block_size=opt.block_size, shared_na=shared_na)
+        if cache_path is not None:
+            arrays = {"mave": np.asarray(mave), "msig": np.asarray(msig)}
+            if gram_cache is not None:
+                arrays["gram"] = np.asarray(gram_cache)
+            tmp = cache_path + ".tmp.npz"
+            np.savez(tmp, **arrays)
+            os.replace(tmp, cache_path)
     return StaticInputs(
         gram_cache=gram_cache,
         bed=bed, na=na, mave=mave, msig=msig,
@@ -357,7 +416,7 @@ def run_training(opt: Options, verbose: bool = True) -> RunResult:
                 print(f"INFO   : {ph.filepath} has {ph.nas} NAs and "
                       f"{ph.nonas} non-NAs.")
     t0 = time.perf_counter()
-    static = build_static(data, opt, dtype)
+    static = build_static(data, opt, dtype, verbose=verbose)
     jax.block_until_ready(static.msig)
     if verbose:
         print(f"INFO   : time to compute the markers' statistics: "

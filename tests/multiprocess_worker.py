@@ -55,13 +55,21 @@ def main():
         )
         run_predict(opt, verbose=False)
     else:
+        # mode == "train" or "resume:<iters>:<ckpt_every>" (the latter
+        # continues a checkpointed chain — exercising the
+        # topology-portable v2 load when the checkpoint was written
+        # under a different process layout).
+        iters, ckpt_every, resume = 10, 0, False
+        if mode.startswith("resume:"):
+            _, it_s, ck_s = mode.split(":")
+            iters, ckpt_every, resume = int(it_s), int(ck_s), True
         opt = Options(
             bed_file=f"{data_dir}/test.bed", dim_file=f"{data_dir}/test.dim",
             phen_files=phens,
             group_index_file=f"{data_dir}/test.gri",
             group_mixture_file=f"{data_dir}/test.grm",
-            iterations=10, seed=42, out_dir=out_dir, block_size=16,
-            output_thin_rate=2,
+            iterations=iters, seed=42, out_dir=out_dir, block_size=16,
+            output_thin_rate=2, checkpoint_every=ckpt_every, resume=resume,
             # The production pod configuration: wave mode + Pallas
             # (interpret on CPU) engages the per-shard Gram cache and the
             # fused per-block kernel across the REAL process boundary.

