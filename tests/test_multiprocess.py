@@ -217,3 +217,18 @@ def test_cross_topology_resume(mp_dataset, tmp_path):
         _, cpn_a = read_history(f"{out_ct}/test{t}.cpn", "i4")
         _, cpn_b = read_history(f"{out_ref}/test{t}.cpn", "i4")
         assert (cpn_a != cpn_b).mean() < 0.01
+
+
+@pytest.mark.skipif(not os.environ.get("GMRM_SLOW"),
+                    reason="slow UKB-shaped rehearsal; set GMRM_SLOW=1")
+def test_ukb_rehearsal_8proc():
+    """tests/-runnable entry for the 8-process UKB-shaped rehearsal
+    (VERDICT r4 item 3): full pipeline (sharded load -> checkpoint ->
+    crash -> resume -> sharded predict) at a reduced shape.  The full
+    50k x 64k run is recorded in benchmarking/SCALE.md."""
+    proc = subprocess.run(
+        [sys.executable,
+         os.path.join(REPO, "benchmarking", "rehearsal_ukb.py"),
+         "--n", "2000", "--m", "8192", "--iters", "8", "--no-report"],
+        capture_output=True, text=True, timeout=3600)
+    assert proc.returncode == 0, proc.stdout[-4000:]
