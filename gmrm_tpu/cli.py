@@ -104,6 +104,11 @@ def options_from_args(args) -> Options:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.dtype == "float64":
+        # Without this, JAX silently truncates f64 computations to f32
+        # (x64 is opt-in); must be set before any array is created.
+        import jax
+        jax.config.update("jax_enable_x64", True)
     opt = options_from_args(args)
     try:
         opt.validate()
