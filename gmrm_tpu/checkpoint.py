@@ -26,6 +26,23 @@ def checkpoint_path(out_dir: str) -> str:
     return os.path.join(out_dir, "checkpoint.npz")
 
 
+def _ckpt_files(out_dir: str) -> list:
+    """All checkpoint files in out_dir (current + *.prev fallbacks, any
+    process layout); the sharded loader groups them into save eras by
+    iteration and uses the newest COMPLETE one."""
+    import glob
+    files = sorted(glob.glob(os.path.join(out_dir, "checkpoint*.npz")))
+    return [f for f in files if not f.endswith(".tmp.npz")]
+
+
+def _clear_ckpt_files(out_dir: str) -> None:
+    """A fresh (non-resume) run must not leave stale checkpoint files
+    behind: a later --resume would otherwise merge state from a DEAD
+    chain that happens to share an iteration number with the new one."""
+    for f in _ckpt_files(out_dir):
+        os.remove(f)
+
+
 _LAYOUT_KEYS = ("block_size", "wave_size", "interleave")
 
 
@@ -48,14 +65,15 @@ def check_layout(path: str, z, expect: Optional[dict]) -> None:
     if expect is None:
         return
     if "layout_block_size" not in getattr(z, "files", z):
-        if expect["interleave"]:
-            raise ValueError(
-                f"{path}: checkpoint predates layout stamping (written "
-                f"in original marker order) but the current run uses "
-                f"block-interleaved storage (wave_size="
-                f"{expect['wave_size']}).  Resume with --wave-size 1 "
-                f"to match the checkpoint's storage order.")
-        return
+        # Unstamped = written before layout stamping, when the storage
+        # order (original vs block-interleaved) was NOT recorded — it
+        # cannot be verified, and resuming misaligned state corrupts
+        # the chain silently.  Refuse outright rather than guess.
+        raise ValueError(
+            f"{path}: checkpoint predates layout stamping — its marker "
+            f"storage order cannot be verified against this run's.  "
+            f"Restart the chain (or re-save the checkpoint with a "
+            f"stamped build of the exact configuration that wrote it).")
     got = {k: int(z[f"layout_{k}"]) for k in _LAYOUT_KEYS}
     if got != expect:
         raise ValueError(
@@ -86,6 +104,12 @@ def load_checkpoint(path: str, dtype=jnp.float32,
                     expect_layout: Optional[dict] = None,
                     ) -> Tuple[SamplerState, int, Optional[np.ndarray], int]:
     with np.load(path) as z:
+        if "starts" in z.files:
+            raise ValueError(
+                f"{path}: this is a topology-portable SHARDED checkpoint "
+                f"(v2, written by parallel.runner.run_training_sharded) "
+                f"— resume it with the sharded runner (any device/"
+                f"process count), not the single-device runner.")
         check_layout(path, z, expect_layout)
         kw = {}
         for f in _FIELDS:

@@ -19,6 +19,10 @@ class OptionsError(ValueError):
     """Raised for invalid or inconsistent run options."""
 
 
+_BLOCK_CEILING_MSG = ("option --block-size above 512 requires --wave-size 1 "
+                      "or --use-pallas 0 (fused-kernel VMEM limit)!")
+
+
 @dataclass
 class Options:
     # Input files (reference options.cpp:26-63)
@@ -110,13 +114,15 @@ class Options:
             raise OptionsError("option --block-size has to be a strictly positive integer!")
         if self.wave_size is not None and self.wave_size < 1:
             raise OptionsError("option --wave-size has to be a strictly positive integer (or omitted for auto)!")
-        if (self.block_size > 1024 and self.use_pallas is not False
+        if (self.block_size > 512 and self.use_pallas is True
                 and (self.wave_size is None or self.wave_size > 1)):
-            # The fused kernels hold (2B)^2 Gram quadrants in VMEM and
-            # carry indices through two bf16 base-256 digits
-            # (ops/sweep_kernel.py); beyond 1024 use --wave-size 1 or
+            # The fused kernels hold (2B)^2 f32 Gram quadrants in VMEM:
+            # 4.2 MB at B=512, 16.8 MB at B=1024 — over the 16 MB scoped
+            # limit (ops/sweep_kernel.py); use --wave-size 1 or
             # --use-pallas 0 (the XLA blocked-Gram path has no limit).
-            raise OptionsError("option --block-size above 1024 requires --wave-size 1 (fused-kernel VMEM limit)!")
+            # use_pallas None (auto) is checked after resolution in
+            # resolve_compute_plan — it may legally resolve to off.
+            raise OptionsError(_BLOCK_CEILING_MSG)
 
     def verbosity_level(self, level: int) -> bool:
         """True when detail prints at ``level`` are enabled — the
@@ -135,6 +141,9 @@ class Options:
         if self.use_pallas is None:
             import jax
             self.use_pallas = jax.default_backend() not in ("cpu",)
+        if (self.block_size > 512 and self.use_pallas
+                and (self.wave_size is None or self.wave_size > 1)):
+            raise OptionsError(_BLOCK_CEILING_MSG)
         if self.wave_size is None:
             self.wave_auto = True
             self.wave_size = 1

@@ -179,7 +179,14 @@ def truncate_csv_to(path: str, n_rec: int) -> None:
 
 
 def write_csv_record(path: str, rec: int, text: str) -> None:
-    """Positioned write at rec * len(row) (constant-width rows, xfiles.cpp:45)."""
+    """Positioned write at rec * len(row) — a FAITHFUL reproduction of
+    the reference's `MPI_File_write_at(fh, n_thinned_saved * strlen(buff),
+    ...)` (xfiles.cpp:45), including its limitation: rows are
+    constant-width only while iteration fits %5d and m0_sum fits %7d
+    (~100k recorded iterations); past that both implementations place
+    rows at stale offsets.  truncate_csv_to deliberately does NOT share
+    this assumption (it scans newlines) so resume stays correct even on
+    files the positioned writer has already skewed."""
     mode = "r+b" if os.path.exists(path) else "wb"
     with open(path, mode) as fh:
         fh.seek(rec * len(text))

@@ -848,9 +848,10 @@ def sweep_blocks_pallas(
     assert mb_pad % _LANES == 0, "pad packed columns to the lane tile"
     assert bed.shape[0] == nblocks * B == m_pad
     # The in-kernel win recovery (iota @ P) carries row indices through
-    # bf16 base-256 digits — exact to B = 65536; 1024 is a sane VMEM
-    # ceiling ((2B)^2 Gram quadrants per trait-group).
-    assert B <= 1024, "mega-kernel block size is limited to 1024"
+    # bf16 base-256 digits — exact to B = 65536; the binding ceiling is
+    # VMEM: the (2B)^2 f32 Gram quadrants are 4.2 MB at B=512 and
+    # 16.8 MB at B=1024, over the 16 MB scoped limit.
+    assert B <= 512, "fused-path block size is limited to 512 (VMEM)"
     # Group ids ride the same bf16 one-hot permutes (_permute_cols_small,
     # exact < 256) and select_g unrolls a where per group.
     assert G <= 256, "group count is limited to 256 (bf16 id carry)"
@@ -1099,8 +1100,8 @@ def block_sweep_pallas(
     B, mb_pad = bed_blk.shape
     T = eps.shape[0]
     K, _, G = rd_tab.shape
-    assert B <= 1024, \
-        "block size is limited to 1024 (VMEM Gram quadrants)"
+    assert B <= 512, \
+        "fused-path block size is limited to 512 (VMEM Gram quadrants)"
     assert G <= 256, "group count is limited to 256 (bf16 id carry)"
     call = _build_block_sweep_call(
         B, mb_pad, T, K, wave, G, bool(shared_na),

@@ -394,50 +394,70 @@ def _save_sharded_checkpoint(path, state, it, layout, local_ids, beta_acc,
         arrays["beta_acc"] = beta_acc
     tmp = path + ".tmp.npz"
     np.savez(tmp, **arrays)
+    # Keep the previous save as a fallback era: a crash while OTHER
+    # processes are still writing leaves the newest era incomplete, and
+    # the loader then falls back to the last complete one.
+    if os.path.exists(path):
+        os.replace(path, path[:-len(".npz")] + ".prev.npz")
     os.replace(tmp, path)
 
 
-def _ckpt_files(out_dir):
-    """All per-process checkpoint files in out_dir, restricted to the
-    NEWEST save era (highest it): a resume under a different process
-    count leaves the other era's files stale — e.g. 1x8's
-    checkpoint.npz vs 2x4's checkpoint.p{0,1}.npz."""
-    import glob as _glob
-    files = sorted(_glob.glob(os.path.join(out_dir, "checkpoint*.npz")))
-    files = [f for f in files if not f.endswith(".tmp.npz")]
-    if len(files) <= 1:
-        return files
-    its = {}
-    for f in files:
-        with np.load(f) as z:
-            its[f] = int(z["it"])
-    best = max(its.values())
-    return [f for f in files if its[f] == best]
+from gmrm_tpu.checkpoint import _ckpt_files, _clear_ckpt_files  # noqa: E402
 
 
 def _load_sharded_checkpoint(files, layout, local_ids, data, dtype,
                              expect_storage=None):
-    """Assemble the global original-order marker state from every file
-    of the newest save era, then re-shard into the CURRENT layout
-    (re-applying the current per-shard interleave orders)."""
-    from gmrm_tpu.checkpoint import check_layout
+    """Assemble the global original-order marker state from the newest
+    COMPLETE save era, then re-shard into the CURRENT layout
+    (re-applying the current per-shard interleave orders).
+
+    Eras are tried newest-first: a crash mid-checkpoint can leave some
+    processes at a newer `it` than others — the stragglers' previous
+    files (kept as *.prev.npz by _save_sharded_checkpoint) complete the
+    older era, so the chain is always resumable from SOME checkpoint.
+
+    v2 slices are stored in original marker order with global ranges,
+    so NO storage-layout agreement is required between the writing and
+    resuming runs — a pod resize, an auto wave downgrade, or a
+    deliberate block/wave change all realign here (the layout stamp is
+    saved for diagnostics only; ``expect_storage`` is unused for v2
+    files and kept for signature stability)."""
     m_total = layout.m_total
-    rep = it = n_rec = beta_acc = None
-    glob_arr = {}
-    covered = np.zeros(m_total, bool)
+    by_it = {}
     for fp in files:
         with np.load(fp) as z:
-            check_layout(fp, z, expect_storage)
             if "starts" not in z.files:
                 raise ValueError(
                     f"{fp}: not a topology-portable sharded checkpoint "
                     f"(pre-v2 sharded format, or written by the "
                     f"single-device runner) — resume with the runner/"
                     f"topology that wrote it, or restart the chain.")
+            by_it.setdefault(int(z["it"]), []).append(fp)
+
+    chosen = None
+    for it in sorted(by_it, reverse=True):
+        covered = np.zeros(m_total, bool)
+        for fp in by_it[it]:
+            with np.load(fp) as z:
+                for k in range(z["starts"].shape[0]):
+                    s, ln = map(int, z["starts"][k])
+                    covered[s:s + ln] = True
+        if covered.all():
+            chosen = it
+            break
+    if chosen is None:
+        raise ValueError(
+            f"no complete checkpoint era among {files} — every "
+            f"iteration's save set leaves marker ranges uncovered")
+
+    rep = n_rec = beta_acc = None
+    it = chosen
+    glob_arr = {}
+    for fp in by_it[chosen]:
+        with np.load(fp) as z:
             if rep is None:
                 rep = {f: z[f] for f in _REPLICATED}
-                it, n_rec = int(z["it"]), int(z["n_rec"])
-            assert int(z["it"]) == it, (fp, int(z["it"]), it)
+                n_rec = int(z["n_rec"])
             starts = z["starts"]
             for f in _SHARDED:
                 for k in range(starts.shape[0]):
@@ -447,18 +467,12 @@ def _load_sharded_checkpoint(files, layout, local_ids, data, dtype,
                         glob_arr[f] = np.zeros((d.shape[0], m_total),
                                                d.dtype)
                     glob_arr[f][:, s:s + ln] = d
-                    if f == _SHARDED[0]:
-                        covered[s:s + ln] = True
             if "beta_acc" in z.files:
                 if beta_acc is None:
                     beta_acc = np.zeros_like(z["beta_acc"])
                 for k in range(starts.shape[0]):
                     s, ln = map(int, starts[k])
                     beta_acc[:, s:s + ln] = z["beta_acc"][:, s:s + ln]
-    if not covered.all():
-        raise ValueError(
-            f"checkpoint era {files} covers only {int(covered.sum())} of "
-            f"{m_total} markers — incomplete save set")
 
     sharded_local = {}
     for f in _SHARDED:
@@ -541,6 +555,12 @@ def run_training_sharded(opt: Options, n_devices: int = 0,
 
     use_pallas = opt.use_pallas
     shared_na = all(ph.nas == 0 for ph in data.phens)
+    if opt.cache_dir and verbose and jax.process_index() == 0:
+        # The startup cache currently covers the single-process runner
+        # (runner.build_static); sharded stats/Gram are built per shard
+        # via shard_map and are not persisted yet.
+        print("INFO   : --cache-dir is not applied by the sharded "
+              "runner (stats/Gram rebuilt per shard).")
 
     # Per-shard Gram cache (VERDICT r3 item 1): the sharded sweep's
     # per-block Gram is iteration-invariant under the block-preserving
@@ -622,6 +642,13 @@ def run_training_sharded(opt: Options, n_devices: int = 0,
         ckpt = _ckpt_path(opt.out_dir)
     from gmrm_tpu.checkpoint import layout_of as _layout_of
     _storage = _layout_of(opt)
+    # NOTE: the barrier condition must be identical on every process —
+    # an os.path.isdir() in it would race against process 0 creating the
+    # directory (measured: sync name mismatch), so only flags gate it.
+    if not opt.resume and opt.out_dir:
+        if jax.process_index() == 0 and os.path.isdir(opt.out_dir):
+            _clear_ckpt_files(opt.out_dir)
+        _sync_processes("ckpt-clear")
     ckpt_srcs = _ckpt_files(opt.out_dir) if (opt.resume and opt.out_dir) \
         else []
     resuming = bool(opt.resume and ckpt and ckpt_srcs)

@@ -440,7 +440,22 @@ def run_training(opt: Options, verbose: bool = True) -> RunResult:
         opt.ensure_out_dir()
         ckpt = checkpoint_path(opt.out_dir)
         ckpt_layout = layout_of(opt)
+    if not opt.resume and opt.out_dir and os.path.isdir(opt.out_dir):
+        # Fresh run: stale checkpoint files belong to a dead chain; a
+        # later --resume must not resurrect them.
+        from gmrm_tpu.checkpoint import _clear_ckpt_files
+        _clear_ckpt_files(opt.out_dir)
     resuming = bool(opt.resume and ckpt and os.path.exists(ckpt))
+    if opt.resume and ckpt and not resuming:
+        from gmrm_tpu.checkpoint import _ckpt_files
+        others = _ckpt_files(opt.out_dir)
+        if others:
+            raise ValueError(
+                f"--resume: no {ckpt}, but per-process sharded "
+                f"checkpoints exist ({[os.path.basename(f) for f in others]}) "
+                f"— resume with the sharded runner (which accepts any "
+                f"process layout) instead of the single-device runner; "
+                f"a fresh run here would overwrite that chain's outputs.")
     if resuming:
         state, last_it, acc, n_rec = load_checkpoint(
             ckpt, dtype, expect_layout=ckpt_layout)

@@ -152,9 +152,10 @@ def test_resume_layout_mismatch_fails_loudly(sim_small, tmp_path):
 
 
 def test_legacy_checkpoint_without_layout_stamp(sim_small, tmp_path):
-    """Pre-stamp checkpoints (original marker order) load fine under
-    original-order runs but are refused when the current run would
-    re-interleave storage."""
+    """Unstamped (pre-stamp) checkpoints are refused outright: their
+    marker storage order cannot be verified, and resuming misaligned
+    state corrupts the chain silently (code-review r5: pre-stamp WAVE
+    runs wrote interleaved state, so no assumption is safe)."""
     import pytest
     import numpy as np
 
@@ -166,14 +167,47 @@ def test_legacy_checkpoint_without_layout_stamp(sim_small, tmp_path):
         arrays = {k: z[k] for k in z.files if not k.startswith("layout_")}
     np.savez(ck, **arrays)                       # strip the stamp
 
-    res = run_training(_opts(sim_small, out, 8, checkpoint_every=3,
-                             resume=True, wave_size=1), verbose=False)
-    assert res.iters_run == 2                    # resumed from it=6
+    for kw in (dict(wave_size=1),
+               dict(use_pallas=True, wave_size=4, block_size=16)):
+        with pytest.raises(ValueError, match="predates layout stamping"):
+            run_training(_opts(sim_small, out, 8, checkpoint_every=3,
+                               resume=True, **kw), verbose=False)
 
-    np.savez(ck, **arrays)
-    with pytest.raises(ValueError, match="predates layout stamping"):
-        run_training(_opts(sim_small, out, 8, resume=True, use_pallas=True,
-                           wave_size=4, block_size=16), verbose=False)
+
+def test_fresh_run_clears_stale_checkpoints(sim_small, tmp_path):
+    """A non-resume run removes checkpoint files left by a previous
+    chain in the same out_dir — otherwise a later --resume could merge
+    state across unrelated chains sharing an iteration number
+    (code-review r5)."""
+    out = str(tmp_path / "clear")
+    run_training(_opts(sim_small, out, 6, checkpoint_every=3),
+                 verbose=False)
+    assert os.path.exists(os.path.join(out, "checkpoint.npz"))
+    run_training(_opts(sim_small, out, 4), verbose=False)   # fresh run
+    assert not os.path.exists(os.path.join(out, "checkpoint.npz"))
+
+
+def test_single_device_refuses_sharded_checkpoint(sim_small, tmp_path):
+    """Cross-runner checkpoint formats fail loudly instead of KeyError
+    or silent clobbering (code-review r5)."""
+    import jax
+    import pytest
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from gmrm_tpu.parallel.runner import run_training_sharded
+
+    out = str(tmp_path / "xfmt")
+    run_training_sharded(_opts(sim_small, out, 6, checkpoint_every=3),
+                         verbose=False)
+    # v2 sharded checkpoint.npz -> clear error from the 1-device runner
+    with pytest.raises(ValueError, match="SHARDED checkpoint"):
+        run_training(_opts(sim_small, out, 8, checkpoint_every=3,
+                           resume=True), verbose=False)
+    # only per-process files present -> refuse rather than fresh-start
+    ck = os.path.join(out, "checkpoint.npz")
+    os.rename(ck, os.path.join(out, "checkpoint.p0.npz"))
+    with pytest.raises(ValueError, match="sharded runner"):
+        run_training(_opts(sim_small, out, 8, resume=True), verbose=False)
 
 
 def test_truncate_csv_variable_width(tmp_path):
@@ -223,3 +257,39 @@ def test_startup_cache_reuse(sim_small, tmp_path):
     run_training(_opts(sim_small, str(tmp_path / "g2"), 8, **kw2),
                  verbose=False)
     assert len(os.listdir(cache)) == 2
+
+
+def test_sharded_checkpoint_era_fallback(sim_small, tmp_path):
+    """A crash mid-checkpoint can leave the newest save era incomplete
+    (some processes ahead of others); the loader must fall back to the
+    newest COMPLETE era — the previous saves kept as *.prev.npz
+    (code-review r5)."""
+    import jax
+    import pytest
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from gmrm_tpu.parallel.runner import run_training_sharded
+
+    out = str(tmp_path / "era")
+    run_training_sharded(_opts(sim_small, out, 6, checkpoint_every=3),
+                         verbose=False)
+    ck = os.path.join(out, "checkpoint.npz")
+    prev = os.path.join(out, "checkpoint.prev.npz")
+    assert os.path.exists(ck) and os.path.exists(prev)   # it=6 and it=3
+
+    # Sabotage the newest era: drop one shard's slices + its range from
+    # `starts`, so it=6 no longer covers all markers.
+    with np.load(ck) as z:
+        arrays = {k: z[k] for k in z.files}
+    last = arrays["starts"].shape[0] - 1
+    for f in ("betas", "comp", "acum"):
+        del arrays[f"{f}_{last}"]
+    # re-key the remaining shards' names are 0..last-1 already; trim starts
+    arrays["starts"] = arrays["starts"][:last]
+    np.savez(ck, **arrays)
+
+    res = run_training_sharded(
+        _opts(sim_small, out, 8, checkpoint_every=3, resume=True),
+        verbose=False)
+    # Fell back to the complete it=3 era: 8 - 3 = 5 iterations run.
+    assert res.iters_run == 5

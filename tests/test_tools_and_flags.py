@@ -120,13 +120,24 @@ def test_compute_knob_validation(sim_small):
 
     with pytest.raises(OptionsError, match="wave-size"):
         opts(wave_size=0).validate()
-    with pytest.raises(OptionsError, match="block-size above 1024"):
-        opts(block_size=2048, use_pallas=True, wave_size=32).validate()
+    with pytest.raises(OptionsError, match="block-size above 512"):
+        opts(block_size=1024, use_pallas=True, wave_size=32).validate()
+    # use_pallas auto (None) defers the ceiling to resolve_compute_plan,
+    # where it may legally resolve to off (CPU backend -> no limit).
+    o = opts(block_size=1024, wave_size=32)
+    o.validate()
+    o.resolve_compute_plan()          # CPU backend in tests -> pallas off
+    assert o.use_pallas is False and o.wave_size == 1
     # Legal escapes: XLA path or exact-serial recursion have no ceiling.
     opts(block_size=2048, use_pallas=False).validate()
-    opts(block_size=2048, wave_size=1).validate()
-    # B=512 now validates (VERDICT r4 item 2).
-    opts(block_size=512, use_pallas=True, wave_size=32).validate()
+    o = opts(block_size=2048, wave_size=1)
+    o.validate()
+    o.resolve_compute_plan()
+    # B=512 validates and runs the fused paths (VERDICT r4 item 2).
+    o = opts(block_size=512, use_pallas=True, wave_size=32)
+    o.validate()
+    o.resolve_compute_plan()
+    assert o.wave_size == 32
 
 
 def test_wave_guard_auto_downgrade():
