@@ -19,8 +19,9 @@ class OptionsError(ValueError):
     """Raised for invalid or inconsistent run options."""
 
 
-_BLOCK_CEILING_MSG = ("option --block-size above 512 requires --wave-size 1 "
-                      "or --use-pallas 0 (fused-kernel VMEM limit)!")
+_BLOCK_CEILING_MSG = ("option --block-size above 512 requires --use-pallas 0 "
+                      "(the (2B)^2 Gram scratch exceeds VMEM in every "
+                      "pallas path; the XLA path has no limit)!")
 
 
 @dataclass
@@ -114,14 +115,13 @@ class Options:
             raise OptionsError("option --block-size has to be a strictly positive integer!")
         if self.wave_size is not None and self.wave_size < 1:
             raise OptionsError("option --wave-size has to be a strictly positive integer (or omitted for auto)!")
-        if (self.block_size > 512 and self.use_pallas is True
-                and (self.wave_size is None or self.wave_size > 1)):
-            # The fused kernels hold (2B)^2 f32 Gram quadrants in VMEM:
-            # 4.2 MB at B=512, 16.8 MB at B=1024 — over the 16 MB scoped
-            # limit (ops/sweep_kernel.py); use --wave-size 1 or
-            # --use-pallas 0 (the XLA blocked-Gram path has no limit).
-            # use_pallas None (auto) is checked after resolution in
-            # resolve_compute_plan — it may legally resolve to off.
+        if self.block_size > 512 and self.use_pallas is True:
+            # EVERY pallas path (wave kernels AND the W=1 per-block Gram
+            # kernel, ops/pallas_kernels.py) holds (2B)^2 f32 Gram
+            # quadrants in VMEM: 4.2 MB at B=512, 16.8 MB at B=1024 —
+            # over the 16 MB scoped limit.  use_pallas None (auto) is
+            # checked after resolution in resolve_compute_plan — it may
+            # legally resolve to off.
             raise OptionsError(_BLOCK_CEILING_MSG)
 
     def verbosity_level(self, level: int) -> bool:
@@ -141,8 +141,7 @@ class Options:
         if self.use_pallas is None:
             import jax
             self.use_pallas = jax.default_backend() not in ("cpu",)
-        if (self.block_size > 512 and self.use_pallas
-                and (self.wave_size is None or self.wave_size > 1)):
+        if self.block_size > 512 and self.use_pallas:
             raise OptionsError(_BLOCK_CEILING_MSG)
         if self.wave_size is None:
             self.wave_auto = True
@@ -154,6 +153,18 @@ class Options:
                         break
         if not self.use_pallas or self.block_size % self.wave_size != 0:
             self.wave_size = 1
+
+    def check_group_limit(self) -> None:
+        """The fused pallas kernels carry group ids through bf16 one-hot
+        permutes (exact < 256) and unroll a select per group — a
+        >256-group .grm must run the XLA path.  Surfaced here as an
+        OptionsError instead of an in-kernel AssertionError mid-chain
+        (code-review r5); called once mixtures AND the compute plan are
+        both resolved."""
+        if self.cva is not None and self.n_groups > 256 and self.use_pallas:
+            raise OptionsError(
+                "more than 256 annotation groups requires --use-pallas 0 "
+                "(bf16 group-id carry limit in the fused kernels)!")
 
     def guard_wave_blocks(self, m_local: int, verbose: bool = True) -> int:
         """Block count this shard will run with; auto-downgrades an

@@ -84,14 +84,19 @@ def pick_lane_tile(mb_pad: int, max_lanes: int = 0) -> int:
 
 
 def vmem_fits(n_traits: int, block_size: int, mb_pad: int,
-              budget_bytes: int = 14 * 1024 * 1024) -> bool:
-    """Conservative VMEM feasibility estimate for the mega-kernel."""
+              budget_bytes: int = 14 * 1024 * 1024, nt: int = 1) -> bool:
+    """Conservative VMEM feasibility estimate for the mega-kernel.
+
+    ``nt`` is the Gram trait axis (1 under shared_na, n_traits with
+    per-trait NA masks): the cache buffers and gfull scratch all scale
+    with it (code-review r5 — the NT=1-only model under-estimated by
+    (NT-1)*3*(2B)^2*4 bytes and picked unfittable kernels)."""
     bed = 2 * block_size * mb_pad                      # double-buffered u8
     bedp = 2 * block_size * mb_pad                     # permuted bf16 scratch
-    gcache = 2 * (2 * block_size) ** 2 * 4             # double-buffered gram
+    gcache = 2 * nt * (2 * block_size) ** 2 * 4        # double-buffered gram
     planes = 4 * n_traits * 4 * mb_pad * 4             # eps0/na/eps_s/out f32
-    gram = (2 * block_size) ** 2 * 4 + \
-        n_traits * block_size * block_size * 4         # gfull + gs
+    gram = nt * (2 * block_size) ** 2 * 4 + \
+        n_traits * block_size * block_size * 4         # gfull scratch + gs
     transients = 3 * (2 * block_size) * 4 * _LANES * 2   # a/b/ab bf16 tiles
     return (bed + bedp + gcache + planes + gram + transients
             < budget_bytes)
@@ -805,16 +810,30 @@ def _build_sweep_call_tiled(nblocks, B, mb_pad, T, K, W, G, shared_na,
 
 
 def vmem_fits_tiled(n_traits: int, block_size: int, mb_pad: int,
-                    budget_bytes: int = 14 * 1024 * 1024) -> bool:
+                    budget_bytes: int = 14 * 1024 * 1024,
+                    nt: int = 1) -> bool:
     """VMEM feasibility of the N-tiled mega-kernel: the residual scratch
-    (T x 4 x mb_pad f32) is the only O(N) term."""
+    (T x 4 x mb_pad f32) is the only O(N) term.  ``nt`` as in
+    vmem_fits (the Gram buffers scale with it, not with T)."""
     TJ = pick_lane_tile(mb_pad)
     B = block_size
     T = n_traits
     eps_s = T * 4 * mb_pad * 4
     tiles = 2 * B * TJ + B * TJ * 2 + 3 * 2 * T * 4 * TJ * 4  # bed+bedp+eps io
-    gram = 3 * T * (2 * B) ** 2 * 4 + T * B * B * 4
+    gram = 3 * nt * (2 * B) ** 2 * 4 + T * B * B * 4
     return eps_s + tiles + gram < budget_bytes
+
+
+def gram_builder_fits(nt: int, block_size: int, mb_pad: int,
+                      budget_bytes: int = 12 * 1024 * 1024) -> bool:
+    """VMEM feasibility of the PALLAS Gram-cache builder: (NT, 2B, 2B)
+    f32 accumulator scratch + double-buffered same-size output blocks +
+    the (B, tj) bed tile.  Beyond it build_gram_cache uses the
+    bit-identical XLA builder (code-review r5: a bare B > 256 test
+    missed the NT blow-up with per-trait NA masks)."""
+    q = nt * (2 * block_size) ** 2 * 4
+    bed = 2 * block_size * pick_lane_tile(mb_pad)
+    return 3 * q + bed < budget_bytes
 
 
 def sweep_blocks_pallas(
@@ -1210,23 +1229,25 @@ def _gram_cache_xla(bed, na_in, block_size):
     (measured: B=512 needs 23.4M vs the 16M scoped limit).
 
     BIT-IDENTICAL to the pallas builder: every Gram entry is an exact
-    non-negative integer count < 2^24 (products of codes <= 2 and na
-    in {0,1} are exact in any precision; f32 accumulation of exact
+    non-negative integer count < 2^24 (codes <= 2 and na in {0,1} are
+    exact in bf16, so every product is; f32 MXU accumulation of exact
     integers below 2^24 is order-independent), so the reduction
     structure doesn't matter — only the decoded values, which share
-    the mk_lut.cpp:25-36 code map."""
+    the mk_lut.cpp:25-36 code map.  bf16 operands + a single-pass
+    preferred-f32 einsum, NOT Precision.HIGHEST (6 bf16 passes for the
+    same bits at 6x the MXU work — the tradeoff blockops documents)."""
     from gmrm_tpu.ops.decode import decode_planes_jax
     m_pad, mb_pad = bed.shape
     B = block_size
     nblocks = m_pad // B
     NT = na_in.shape[0]
+    na_b = na_in.astype(_BF16)
 
     def per_block(bed_blk):                       # (B, mb_pad) u8
-        a, b = decode_planes_jax(bed_blk, dtype=jnp.float32)
-        ab = jnp.concatenate([a, b], axis=0)      # (2B, 4, mb_pad)
+        a, b = decode_planes_jax(bed_blk, dtype=_BF16)
+        ab = jnp.concatenate([a, b], axis=0)      # (2B, 4, mb_pad) bf16
         gs = [
-            jnp.einsum("ikm,jkm->ij", ab * na_in[t][None], ab,
-                       precision=jax.lax.Precision.HIGHEST,
+            jnp.einsum("ikm,jkm->ij", ab * na_b[t][None], ab,
                        preferred_element_type=_F32)
             for t in range(NT)
         ]
@@ -1249,7 +1270,7 @@ def build_gram_cache(bed, na, *, block_size, shared_na, interpret=False):
     nblocks = m_pad // block_size
     T = na.shape[0]
     na_in = na[:1] if shared_na else na
-    if block_size > 256:
+    if not gram_builder_fits(na_in.shape[0], block_size, mb_pad):
         return _gram_cache_xla(bed, na_in.astype(_F32), block_size)
     call = _build_gram_cache_call(
         nblocks, block_size, mb_pad, T, bool(shared_na),

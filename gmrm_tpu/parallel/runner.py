@@ -501,6 +501,7 @@ def run_training_sharded(opt: Options, n_devices: int = 0,
     opt.resolve_compute_plan()
     if opt.cva is None:
         opt.load_group_mixtures()
+    opt.check_group_limit()
     dtype = jnp.dtype(opt.dtype)
 
     mesh = make_marker_mesh(n_devices)

@@ -202,6 +202,7 @@ def _startup_cache_key(data: LoadedData, opt: Options, dtype,
 def build_static(data: LoadedData, opt: Options, dtype,
                  verbose: bool = False) -> StaticInputs:
     opt.resolve_compute_plan()
+    opt.check_group_limit()
     bed = jnp.asarray(data.bed)
     na = jnp.asarray(data.na, dtype)
     nonas = jnp.asarray(data.nonas, dtype)

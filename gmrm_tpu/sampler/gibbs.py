@@ -199,9 +199,11 @@ def marker_sweep(
         if megakernel == "tiled":
             tiled = True               # test hook: force the tiled grid
         else:
-            resident = vmem_fits(T, B, static.bed.shape[1])
+            nt = 1 if shared_na else T
+            resident = vmem_fits(T, B, static.bed.shape[1], nt=nt)
             tiled = ((not resident)
-                     and vmem_fits_tiled(T, B, static.bed.shape[1]))
+                     and vmem_fits_tiled(T, B, static.bed.shape[1],
+                                         nt=nt))
             mega = bool(megakernel) or resident or tiled
 
     if mega:
@@ -286,7 +288,7 @@ def marker_sweep(
                  and (fused is True or axis_name is not None))
     if use_fused and fused is not True:
         from gmrm_tpu.ops.sweep_kernel import vmem_fits
-        use_fused = vmem_fits(T, B, mb_pad)
+        use_fused = vmem_fits(T, B, mb_pad, nt=1 if shared_na else T)
     if fused is True and not use_fused:
         raise ValueError(
             "fused=True requires the cached-Gram prerequisites "

@@ -128,11 +128,15 @@ def test_compute_knob_validation(sim_small):
     o.validate()
     o.resolve_compute_plan()          # CPU backend in tests -> pallas off
     assert o.use_pallas is False and o.wave_size == 1
-    # Legal escapes: XLA path or exact-serial recursion have no ceiling.
+    # W=1 does NOT escape the ceiling: the per-block Gram kernel also
+    # holds (2B)^2 scratch (code-review r5).
+    with pytest.raises(OptionsError, match="block-size above 512"):
+        opts(block_size=1024, use_pallas=True, wave_size=1).validate()
+    # The only legal escape is the XLA path.
     opts(block_size=2048, use_pallas=False).validate()
     o = opts(block_size=2048, wave_size=1)
     o.validate()
-    o.resolve_compute_plan()
+    o.resolve_compute_plan()          # CPU backend -> pallas off -> ok
     # B=512 validates and runs the fused paths (VERDICT r4 item 2).
     o = opts(block_size=512, use_pallas=True, wave_size=32)
     o.validate()
@@ -213,3 +217,21 @@ def test_ld_stress_defaults_safe():
     with pytest.raises(FloatingPointError, match="diverged"):
         run_training(opts(80, wave_size=32, block_size=128),
                      verbose=False)
+
+
+def test_group_limit_surfaces_as_options_error(tmp_path):
+    """>256 annotation groups with pallas on must fail at options level
+    (code-review r5), not as an in-kernel AssertionError mid-chain."""
+    import numpy as np
+    import pytest
+    from gmrm_tpu.config import Options, OptionsError
+
+    grm = tmp_path / "many.grm"
+    grm.write_text("0.0 0.001 0.01\n" * 300)
+    o = Options(group_mixture_file=str(grm), use_pallas=True)
+    o.load_group_mixtures()
+    assert o.n_groups == 300
+    with pytest.raises(OptionsError, match="256 annotation groups"):
+        o.check_group_limit()
+    o.use_pallas = False
+    o.check_group_limit()                        # XLA path: no limit
