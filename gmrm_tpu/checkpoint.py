@@ -43,22 +43,26 @@ def _clear_ckpt_files(out_dir: str) -> None:
         os.remove(f)
 
 
-_LAYOUT_KEYS = ("block_size", "wave_size", "interleave")
+_LAYOUT_KEYS = ("block_size", "wave_size", "interleave", "m_total")
 
 
-def layout_of(opt) -> dict:
+def layout_of(opt, m_total: int = 0) -> dict:
     """The marker-STORAGE layout a run's state arrays are laid out in.
 
     ``interleave`` (on whenever wave mode is active) reorders
     betas/comp/acum rows via runner.interleave_order, whose permutation
-    depends on nblocks = m_pad // block_size — so state saved under one
-    (block_size, interleave) silently misaligns against a run resolved
-    with another.  Stamped into every checkpoint; load fails loudly on
-    mismatch instead of continuing a corrupted chain."""
+    depends on nblocks = m_pad // block_size AND on the marker count —
+    a changed --trunc-markers can keep every padded shape while
+    producing a different permutation (code-review r5) — so state saved
+    under one (block_size, interleave, m_total) silently misaligns
+    against a run resolved with another.  Stamped into every
+    checkpoint; load fails loudly on mismatch instead of continuing a
+    corrupted chain."""
     opt.resolve_compute_plan()
     return {"block_size": int(opt.block_size),
             "wave_size": int(opt.wave_size or 1),
-            "interleave": int((opt.wave_size or 1) > 1)}
+            "interleave": int((opt.wave_size or 1) > 1),
+            "m_total": int(m_total)}
 
 
 def check_layout(path: str, z, expect: Optional[dict]) -> None:
@@ -92,8 +96,8 @@ def save_checkpoint(path: str, state: SamplerState, it: int,
     arrays["n_rec"] = np.asarray(n_rec)
     if beta_acc is not None:
         arrays["beta_acc"] = beta_acc
-    for k in _LAYOUT_KEYS:
-        if layout is not None:
+    if layout is not None:
+        for k in _LAYOUT_KEYS:
             arrays[f"layout_{k}"] = np.asarray(layout[k])
     tmp = path + ".tmp.npz"
     np.savez(tmp, **arrays)

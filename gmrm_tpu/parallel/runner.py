@@ -318,6 +318,14 @@ class ShardedOutputSet:
                             w.truncate_to(n_rec)
                     if n_rec is not None:
                         truncate_csv_to(b + ".csv", n_rec)
+                elif resume and n_rec:
+                    # Checkpoint claims n_rec rows but the history file
+                    # is gone — a fresh file would hold zero-filled
+                    # garbage records (code-review r5, as in OutputSet).
+                    raise IOError(
+                        f"resume: checkpoint records {n_rec} thinned "
+                        f"rows but {b}.bet is missing — restore the "
+                        f"output files or restart the chain.")
                 else:
                     HistoryWriter(b + ".bet", data.m_total, "f8")
                     HistoryWriter(b + ".cpn", data.m_total, "i4")
@@ -432,6 +440,13 @@ def _load_sharded_checkpoint(files, layout, local_ids, data, dtype,
                     f"(pre-v2 sharded format, or written by the "
                     f"single-device runner) — resume with the runner/"
                     f"topology that wrote it, or restart the chain.")
+            if ("layout_m_total" in z.files
+                    and int(z["layout_m_total"]) != m_total):
+                raise ValueError(
+                    f"{fp}: checkpoint covers {int(z['layout_m_total'])} "
+                    f"markers but this run analyzes {m_total} (changed "
+                    f"--trunc-markers / dataset?) — marker state cannot "
+                    f"be realigned.")
             by_it.setdefault(int(z["it"]), []).append(fp)
 
     chosen = None
@@ -642,7 +657,7 @@ def run_training_sharded(opt: Options, n_devices: int = 0,
         _sync_processes("ckpt-dir")
         ckpt = _ckpt_path(opt.out_dir)
     from gmrm_tpu.checkpoint import layout_of as _layout_of
-    _storage = _layout_of(opt)
+    _storage = _layout_of(opt, m_total=data.m_total)
     # NOTE: the barrier condition must be identical on every process —
     # an os.path.isdir() in it would race against process 0 creating the
     # directory (measured: sync name mismatch), so only flags gate it.
@@ -653,6 +668,9 @@ def run_training_sharded(opt: Options, n_devices: int = 0,
     ckpt_srcs = _ckpt_files(opt.out_dir) if (opt.resume and opt.out_dir) \
         else []
     resuming = bool(opt.resume and ckpt and ckpt_srcs)
+    if opt.resume and not resuming and opt.out_dir:
+        from gmrm_tpu.runner import _guard_resume_without_checkpoint
+        _guard_resume_without_checkpoint(opt, data)
     if resuming:
         repv, shl, last_it, acc, n_rec = _load_sharded_checkpoint(
             ckpt_srcs, layout, local_ids, data, dtype,

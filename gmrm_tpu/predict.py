@@ -3,16 +3,20 @@
 
 Per phenotype:
 
-1. read the ``.bet`` chain written by training, average over iterations;
-2. genetic values g = X_std @ beta_mean over markers present in the
-   reference panel bim (``bayes.cpp:93-125``);
-3. residualize: y_k = y_centered_scaled - (g - g_k) — with a single shard
-   g_k == g so y_k == y, exactly the reference's 1-rank behavior
-   (``bayes.cpp:138-147``); sigma = sum(y_k^2)/nonas;
-4. per-marker OLS on *uncentered* dosages (a*b*na — a faithful reference
+1. validate the ``.bet`` chain header against the reference-panel bim
+   (the reference's own check, ``bayes.cpp:47-55``) and report niter;
+2. residualize: y_k = y_centered_scaled - (g - g_k) — with the pinned
+   1-rank semantics g_k == g so y_k == y, exactly the reference's
+   1-rank behavior (``bayes.cpp:138-147``), which makes the genetic
+   value g (= X_std @ posterior-mean beta, ``bayes.cpp:93-125``) cancel
+   out of EVERY output field — so neither it, the chain average, nor
+   the marker stats are computed at all (field-level parity vs the
+   compiled reference verified, benchmarking/predict_parity.py);
+   sigma = sum(y_k^2)/nonas;
+3. per-marker OLS on *uncentered* dosages (a*b*na — a faithful reference
    quirk, ``bayes.cpp:191-205``): beta = xty/xtx, t = xty/sqrt(sigma*xtx),
    se = beta/t, p = 1 - P(1/2, t^2/2);
-5. fixed-width ``.mlma`` lines, markers absent from the reference bim
+4. fixed-width ``.mlma`` lines, markers absent from the reference bim
    excluded (``bayes.cpp:223-254``).
 """
 
@@ -30,125 +34,90 @@ from gmrm_tpu.io.bed import read_bed
 from gmrm_tpu.io.bim import read_bim_ids, bim_id_index
 from gmrm_tpu.io.grouping import read_dim
 from gmrm_tpu.io.phen import read_phen
-from gmrm_tpu.io.writers import read_history, format_mlma_line
+from gmrm_tpu.io.writers import format_mlma_line
 from gmrm_tpu.ops.decode import decode_planes_jax, to_phase_planes
-from gmrm_tpu.ops.blockops import marker_stats_jax, _PREC
+from gmrm_tpu.ops.blockops import _PREC
 from gmrm_tpu.runner import stem
 
 
-def _predict_sums_scan(bed_p, mave_p, msig_p, beta_p, keep_p, na, y_planes,
-                       *, dtype, axis_name=None):
+def _predict_sums_scan(bed_p, na, y_planes, *, dtype):
     """The fused scan over marker chunks (pure; jitted via
     _predict_sums_jit for the single-device path so repeated calls —
     per trait, per run — hit the jit cache instead of recompiling:
     closing over na/y_planes as constants caused a ~3 s XLA recompile
-    per trait)."""
-    def body(carry, xs):
-        g_acc = carry
-        bed_c, mave_c, msig_c, beta_c, keep_c = xs
+    per trait).
+
+    Only (xtx, xty) on uncentered dosages survive: under the pinned
+    1-rank residualization (y_k == y, bayes.cpp:138-147) the genetic
+    value g — and therefore the posterior-mean betas and marker stats
+    feeding it — cancels out of every output field, so computing it was
+    pure waste (code-review r5: ~1/3 of predict FLOPs plus a full .bet
+    chain read per trait, for a value never consumed)."""
+    def body(carry, bed_c):
         a, b = decode_planes_jax(bed_c, dtype=dtype)       # (chunk, 4, mb)
-        xstd = (a - mave_c[:, None, None] * b) * na[None] * \
-            msig_c[:, None, None]                          # (chunk, 4, mb)
-        w = beta_c * keep_c
-        g_acc = g_acc + jnp.einsum("c,ckm->km", w, xstd,
-                                   preferred_element_type=dtype,
-                                   precision=_PREC)
         val = a * b * na[None]                             # uncentered dosage
         xtx = jnp.einsum("ckm,ckm->c", val, val,
                          preferred_element_type=dtype, precision=_PREC)
         xty = jnp.einsum("ckm,km->c", val, y_planes,
                          preferred_element_type=dtype, precision=_PREC)
-        return g_acc, (xtx, xty)
+        return carry, (xtx, xty)
 
-    g0 = jnp.zeros(na.shape, dtype)
-    if axis_name is not None:
-        # Under shard_map the carry absorbs shard-varying inputs.
-        g0 = jax.lax.pcast(g0, (axis_name,), to="varying")
-    g, (xtx, xty) = jax.lax.scan(body, g0,
-                                 (bed_p, mave_p, msig_p, beta_p, keep_p))
-    return g, xtx, xty
+    _, (xtx, xty) = jax.lax.scan(body, 0, bed_p)
+    return xtx, xty
 
 
 @functools.partial(jax.jit, static_argnames=("dtype",))
-def _predict_sums_jit(bed_p, mave_p, msig_p, beta_p, keep_p, na, y_planes,
-                      dtype):
-    return _predict_sums_scan(bed_p, mave_p, msig_p, beta_p, keep_p,
-                              na, y_planes, dtype=dtype)
+def _predict_sums_jit(bed_p, na, y_planes, dtype):
+    return _predict_sums_scan(bed_p, na, y_planes, dtype=dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("dtype",))
-def _stats_jit(bed, na, nonas, dtype):
-    # jit wrapper: marker_stats_jax's eager scan would recompile per
-    # trait (fresh na constants); here the cache keys on shapes.
-    return marker_stats_jax(bed, na, nonas, dtype=dtype)
-
-
-def _chunked_predict_sums(bed, na, mave, msig, beta_mean, y_planes,
-                          keep, dtype=jnp.float32, chunk=512,
+def _chunked_predict_sums(bed, na, y_planes, dtype=jnp.float32, chunk=512,
                           axis_name=None):
-    """One fused pass: g = sum_j keep_j*beta_j*x_std_j  and per-marker
-    (xtx, xty) on uncentered dosages against y_k."""
+    """Per-marker (xtx, xty) on uncentered dosages against y_k."""
     m, mb = bed.shape
     n_chunks = -(-m // chunk)
     m_pad = n_chunks * chunk
     pad = m_pad - m
 
-    def padm(x, fill=0):
-        return jnp.concatenate(
-            [jnp.asarray(x), jnp.full((pad,) + np.shape(x)[1:], fill,
-                                      jnp.asarray(x).dtype)])
-
     bed_p = jnp.concatenate(
         [jnp.asarray(bed),
          jnp.full((pad, mb), 0x55, jnp.uint8)]).reshape(n_chunks, chunk, mb)
-    xs = (
-        bed_p,
-        padm(mave).reshape(n_chunks, chunk).astype(dtype),
-        padm(msig).reshape(n_chunks, chunk).astype(dtype),
-        padm(beta_mean).reshape(n_chunks, chunk).astype(dtype),
-        padm(keep.astype(np.float32)).reshape(n_chunks, chunk).astype(dtype),
-    )
     if axis_name is not None:
-        g, xtx, xty = _predict_sums_scan(*xs, na, y_planes, dtype=dtype,
-                                         axis_name=axis_name)
+        xtx, xty = _predict_sums_scan(bed_p, na, y_planes, dtype=dtype)
     else:
-        g, xtx, xty = _predict_sums_jit(*xs, na, y_planes, dtype=dtype)
-    return g, xtx.reshape(-1)[:m], xty.reshape(-1)[:m]
+        xtx, xty = _predict_sums_jit(bed_p, na, y_planes, dtype=dtype)
+    return xtx.reshape(-1)[:m], xty.reshape(-1)[:m]
 
 
-def _beta_mean_streamed(bet_path: str, expect_mtot: int, start: int = 0,
-                        count: int | None = None):
-    """Posterior-mean betas, one record at a time (never holds the whole
-    chain — reference reads per-iteration too, bayes.cpp:69-80).
-
-    ``start``/``count`` select this process's marker slice — the
-    per-rank positioned .bet read of distributed predict
-    (reference MPI_File_read_at_all, bayes.cpp:69-80)."""
-    from gmrm_tpu.io.writers import history_mtot, read_history_stream
+def _check_bet_and_niter(bet_path: str, expect_mtot: int) -> int:
+    """Validate the .bet header Mtot against the REFERENCE-panel bim
+    size and return the recorded iteration count — the reference's own
+    check and abort (``bayes.cpp:47-55``: ``Mtot_ != m_refrsid.size()``
+    -> MPI_Abort), which is deliberately NOT the analysis panel's
+    m_total: the reference's predict workflow requires the trained
+    panel (= ref bim) to frame the .bet.  Header-only reads; the chain
+    itself is never loaded (the posterior-mean betas cancel out of
+    every output under the 1-rank residualization)."""
+    import os as _os
+    from gmrm_tpu.io.writers import history_mtot
     mtot = history_mtot(bet_path)
     if mtot != expect_mtot:
         raise IOError(
             f"Mismatch between expected and Mtot read from .bet file: "
             f"{expect_mtot} vs {mtot}"
         )
-    if count is None:
-        count = mtot - start
-    acc = np.zeros(count, np.float64)
-    niter = 0
-    for _, rec in read_history_stream(bet_path, "f8", start, count):
-        acc += rec
-        niter += 1
-    return acc / max(niter, 1), niter
+    rec_bytes = 4 + mtot * 8
+    return (_os.path.getsize(bet_path) - 4) // rec_bytes
 
 
-def _sharded_predict_sums(bed, na, mave, msig, beta_mean, y_planes, keep,
-                          n_devices, dtype=jnp.float32):
-    """The X.beta / OLS pass over a marker-sharded device mesh: each shard
-    computes its markers' (xtx, xty) and partial genetic value g; psum(g)
-    replaces the reference's MPI_Allreduce (bayes.cpp:136).  Per-marker
+def _sharded_predict_sums(bed, na, y_planes, n_devices, dtype=jnp.float32):
+    """The OLS-sums pass over a marker-sharded device mesh.  Per-marker
     sums never cross shards, so the outputs are byte-identical to the
-    single-device pass."""
-    from jax.sharding import PartitionSpec as P
+    single-device pass.  The bed transfers as per-shard pieces via an
+    explicit NamedSharding device_put — staging the whole padded bed on
+    one device first would defeat the sharded memory model at
+    production scale (code-review r5)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
     from gmrm_tpu.parallel.mesh import MARKER_AXIS, make_marker_mesh
 
     mesh = make_marker_mesh(n_devices)
@@ -159,31 +128,19 @@ def _sharded_predict_sums(bed, na, mave, msig, beta_mean, y_planes, keep,
 
     bed_p = np.concatenate(
         [bed, np.full((pad, mb), 0x55, np.uint8)], axis=0)
-    mave_p = np.concatenate([mave, np.zeros(pad)])
-    msig_p = np.concatenate([msig, np.zeros(pad)])
-    beta_p = np.concatenate([beta_mean, np.zeros(pad)])
-    keep_p = np.concatenate([keep.astype(np.float64), np.zeros(pad)])
-
-    def shard_fn(bed_s, mave_s, msig_s, beta_s, keep_s, na_r, y_r):
-        g_k, xtx, xty = _chunked_predict_sums(
-            bed_s, na_r, mave_s, msig_s, beta_s, y_r,
-            keep_s, dtype=dtype, axis_name=MARKER_AXIS)
-        g = jax.lax.psum(g_k, MARKER_AXIS)
-        return g, xtx, xty
 
     sh = P(MARKER_AXIS)
     rep = P()
     fn = jax.jit(jax.shard_map(
-        shard_fn, mesh=mesh,
-        in_specs=(sh, sh, sh, sh, sh, rep, rep),
-        out_specs=(rep, sh, sh),
+        lambda bed_s, na_r, y_r: _chunked_predict_sums(
+            bed_s, na_r, y_r, dtype=dtype, axis_name=MARKER_AXIS),
+        mesh=mesh,
+        in_specs=(sh, rep, rep),
+        out_specs=(sh, sh),
     ))
-    g, xtx, xty = fn(
-        jnp.asarray(bed_p), jnp.asarray(mave_p, dtype),
-        jnp.asarray(msig_p, dtype), jnp.asarray(beta_p, dtype),
-        jnp.asarray(keep_p, dtype), na, y_planes,
-    )
-    return g, np.asarray(xtx)[:m], np.asarray(xty)[:m]
+    bed_d = jax.device_put(bed_p, NamedSharding(mesh, sh))
+    xtx, xty = fn(bed_d, na, y_planes)
+    return np.asarray(xtx)[:m], np.asarray(xty)[:m]
 
 
 def run_predict(opt: Options, verbose: bool = True):
@@ -237,32 +194,24 @@ def run_predict(opt: Options, verbose: bool = True):
         ph = read_phen(phen_path, n)
         base = os.path.join(opt.out_dir, stem(phen_path))
         bet_path = base + ".bet"
-        beta_mean, niter = _beta_mean_streamed(bet_path, len(ref_idx),
-                                               s0, m_loc)
+        niter = _check_bet_and_niter(bet_path, len(ref_idx))
         if verbose and pid == 0:
             print(f"INFO   : Number of recorded iterations in .bet file: "
                   f"{niter}")
 
         na = jnp.asarray(to_phase_planes(ph.na_vector_padded()), dtype)
-        # Stats stay ON DEVICE — they feed only the sums pass, and every
-        # host fetch on a tunneled device costs a full sync round-trip.
-        mave, msig = _stats_jit(
-            jnp.asarray(bed), na[None],
-            jnp.asarray([ph.nonas], dtype), dtype=dtype)
-        mave = mave[0]
-        msig = msig[0]
-
         y = ph.epsilon_padded()                             # centered+scaled
         y_planes = jnp.asarray(to_phase_planes(y), dtype)
 
         if n_dev > 1 and nproc == 1:
-            g, xtx, xty = _sharded_predict_sums(
-                bed, na, mave, msig, beta_mean, y_planes, keep,
-                n_devices=opt.n_devices, dtype=dtype)
+            xtx, xty = _sharded_predict_sums(
+                bed, na, y_planes, n_devices=opt.n_devices, dtype=dtype)
         else:
-            g, xtx, xty = _chunked_predict_sums(
-                bed, na, mave, msig, beta_mean, y_planes, keep,
-                dtype=dtype)
+            # nproc > 1: each process handles its marker slice on its
+            # default device; further sharding the slice over additional
+            # local devices is possible but unimplemented.
+            xtx, xty = _chunked_predict_sums(bed, na, y_planes,
+                                             dtype=dtype)
         # Single shard: g_k == g, so y_k = y (reference 1-rank behavior;
         # the sharded/multi-process passes keep the same semantics so
         # outputs are byte-identical across layouts).

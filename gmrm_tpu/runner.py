@@ -296,6 +296,22 @@ class RunResult:
     iters_run: int = 0
 
 
+def _guard_resume_without_checkpoint(opt: Options, data) -> None:
+    """--resume with no checkpoint file: starting fresh is fine in an
+    empty out_dir, but if a previous chain's outputs exist they would
+    be silently deleted and overwritten (code-review r5) — fail loudly
+    instead and let the user decide."""
+    existing = [b for b in data.out_basenames
+                if os.path.exists(os.path.join(opt.out_dir, b + ".bet"))]
+    if existing:
+        raise ValueError(
+            f"--resume requested but no checkpoint found in "
+            f"{opt.out_dir}, which already holds chain outputs "
+            f"({existing[0]}.bet ...).  A fresh run would destroy them: "
+            f"drop --resume to restart deliberately, or restore the "
+            f"checkpoint file.")
+
+
 class OutputSet:
     """Per-trait .csv/.bet/.cpn writers (reference phenotype.cpp:129-203).
 
@@ -330,6 +346,16 @@ class OutputSet:
                     self.bet[-1].truncate_to(n_rec)
                     self.cpn[-1].truncate_to(n_rec)
                     truncate_csv_to(csv_path, n_rec)
+            elif resume and n_rec:
+                # The checkpoint says n_rec records were written, but
+                # the history file is gone: silently creating a fresh
+                # one would leave records 0..n_rec-1 as zero-filled
+                # garbage that read_history returns as real data
+                # (code-review r5).
+                raise IOError(
+                    f"resume: checkpoint records {n_rec} thinned rows "
+                    f"but {b}.bet is missing — restore the output files "
+                    f"or restart the chain.")
             else:
                 self.bet.append(HistoryWriter(b + ".bet", data.m_total, "f8"))
                 self.cpn.append(HistoryWriter(b + ".cpn", data.m_total, "i4"))
@@ -440,7 +466,7 @@ def run_training(opt: Options, verbose: bool = True) -> RunResult:
         )
         opt.ensure_out_dir()
         ckpt = checkpoint_path(opt.out_dir)
-        ckpt_layout = layout_of(opt)
+        ckpt_layout = layout_of(opt, m_total=data.m_total)
     if not opt.resume and opt.out_dir and os.path.isdir(opt.out_dir):
         # Fresh run: stale checkpoint files belong to a dead chain; a
         # later --resume must not resurrect them.
@@ -457,6 +483,7 @@ def run_training(opt: Options, verbose: bool = True) -> RunResult:
                 f"— resume with the sharded runner (which accepts any "
                 f"process layout) instead of the single-device runner; "
                 f"a fresh run here would overwrite that chain's outputs.")
+        _guard_resume_without_checkpoint(opt, data)
     if resuming:
         state, last_it, acc, n_rec = load_checkpoint(
             ckpt, dtype, expect_layout=ckpt_layout)

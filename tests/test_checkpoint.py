@@ -293,3 +293,48 @@ def test_sharded_checkpoint_era_fallback(sim_small, tmp_path):
         verbose=False)
     # Fell back to the complete it=3 era: 8 - 3 = 5 iterations run.
     assert res.iters_run == 5
+
+
+def test_resume_without_checkpoint_guards_existing_outputs(sim_small,
+                                                           tmp_path):
+    """--resume with no checkpoint must not silently destroy a previous
+    chain's outputs (code-review r5); in an EMPTY out_dir it still
+    starts fresh (test_resume_without_checkpoint_starts_fresh)."""
+    import pytest
+
+    out = str(tmp_path / "guard")
+    run_training(_opts(sim_small, out, 6), verbose=False)   # no checkpoint
+    with pytest.raises(ValueError, match="destroy"):
+        run_training(_opts(sim_small, out, 8, resume=True), verbose=False)
+
+
+def test_resume_with_missing_bet_fails(sim_small, tmp_path):
+    """A checkpoint that records thinned rows whose .bet file is gone
+    must raise, not create a zero-filled history (code-review r5)."""
+    import pytest
+
+    out = str(tmp_path / "gone")
+    run_training(_opts(sim_small, out, 8, checkpoint_every=4),
+                 verbose=False)
+    os.remove(os.path.join(out, "test1.bet"))
+    with pytest.raises(IOError, match="missing"):
+        run_training(_opts(sim_small, out, 12, checkpoint_every=4,
+                           resume=True), verbose=False)
+
+
+def test_resume_trunc_markers_mismatch_fails(sim_small, tmp_path):
+    """A changed --trunc-markers between save and resume keeps padded
+    shapes but changes the interleave permutation AND the .bet record
+    stride — the m_total layout stamp must catch it (code-review r5)."""
+    import pytest
+
+    out = str(tmp_path / "trunc")
+    run_training(_opts(sim_small, out, 6, checkpoint_every=3,
+                       use_pallas=True, wave_size=4, block_size=16),
+                 verbose=False)
+    with pytest.raises(ValueError, match="storage layout"):
+        run_training(_opts(sim_small, out, 10, checkpoint_every=3,
+                           resume=True, use_pallas=True, wave_size=4,
+                           block_size=16,
+                           trunc_markers=sim_small.m - 16),
+                     verbose=False)
