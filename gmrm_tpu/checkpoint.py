@@ -78,14 +78,22 @@ def check_layout(path: str, z, expect: Optional[dict]) -> None:
             f"storage order cannot be verified against this run's.  "
             f"Restart the chain (or re-save the checkpoint with a "
             f"stamped build of the exact configuration that wrote it).")
-    got = {k: int(z[f"layout_{k}"]) for k in _LAYOUT_KEYS}
-    if got != expect:
+    # Compare only the keys the checkpoint carries: stamps written
+    # before m_total was added lack layout_m_total (the sharded loader
+    # tolerates the same gap) — a KeyError here would make every such
+    # checkpoint unresumable with an opaque error.
+    keys = [k for k in _LAYOUT_KEYS if f"layout_{k}" in z.files]
+    got = {k: int(z[f"layout_{k}"]) for k in keys}
+    want = {k: expect[k] for k in keys}
+    if got != want:
+        hint = ("changed --trunc-markers / dataset?"
+                if got.get("m_total") != want.get("m_total")
+                else "pass matching --block-size/--wave-size")
         raise ValueError(
             f"{path}: checkpoint marker-storage layout {got} does not "
-            f"match the current run's {expect}; resuming would misalign "
-            f"betas/comp/acum against the re-ordered genotype matrix.  "
-            f"Pass matching --block-size/--wave-size to resume this "
-            f"chain.")
+            f"match the current run's {want}; resuming would misalign "
+            f"betas/comp/acum against the re-ordered genotype matrix "
+            f"({hint}).")
 
 
 def save_checkpoint(path: str, state: SamplerState, it: int,

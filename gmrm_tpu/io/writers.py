@@ -101,32 +101,6 @@ def read_history(path: str, kind: str) -> tuple[np.ndarray, np.ndarray]:
     return iters, data
 
 
-def read_history_stream(path: str, kind: str, start: int = 0,
-                        count: int | None = None):
-    """Yield (iteration, record[start:start+count]) per thinned record
-    WITHOUT loading the whole chain (reference predict reads the .bet
-    record-by-record too, src/bayes.cpp:69-80).  ``start``/``count``
-    select a marker slice — the per-shard read for distributed predict."""
-    dtype = np.dtype(_DTYPES[kind])
-    size = os.path.getsize(path)
-    with open(path, "rb") as fh:
-        (m_total,) = struct.unpack("<I", fh.read(4))
-        if count is None:
-            count = m_total - start
-        rec_bytes = 4 + m_total * dtype.itemsize
-        if (size - 4) % rec_bytes != 0:
-            raise IOError(
-                f"{path}: size {size} not consistent with Mtot={m_total}")
-        n_rec = (size - 4) // rec_bytes
-        for r in range(n_rec):
-            off = 4 + r * rec_bytes
-            fh.seek(off)
-            (it,) = struct.unpack("<I", fh.read(4))
-            fh.seek(off + 4 + start * dtype.itemsize)
-            data = np.fromfile(fh, dtype=dtype, count=count)
-            yield int(it), data
-
-
 def history_mtot(path: str) -> int:
     with open(path, "rb") as fh:
         (m_total,) = struct.unpack("<I", fh.read(4))

@@ -299,6 +299,18 @@ class ShardedOutputSet:
         if not self.enabled:
             return
         pid = jax.process_index()
+        # A checkpoint claiming n_rec rows whose .bet is gone must fail
+        # on EVERY process (shared fs -> consistent verdict) BEFORE the
+        # barrier below — raising on process 0 alone would leave the
+        # others deadlocked in sync_global_devices (code-review r5).
+        if resume and n_rec:
+            for base in data.out_basenames:
+                b = os.path.join(opt.out_dir, base)
+                if not os.path.exists(b + ".bet"):
+                    raise IOError(
+                        f"resume: checkpoint records {n_rec} thinned "
+                        f"rows but {b}.bet is missing — restore the "
+                        f"output files or restart the chain.")
         # Process 0 creates (or, on resume, keeps) every file, THEN one
         # barrier, then the other processes attach without truncating.
         # On resume the files are cut back to the checkpoint's n_rec:
@@ -318,15 +330,9 @@ class ShardedOutputSet:
                             w.truncate_to(n_rec)
                     if n_rec is not None:
                         truncate_csv_to(b + ".csv", n_rec)
-                elif resume and n_rec:
-                    # Checkpoint claims n_rec rows but the history file
-                    # is gone — a fresh file would hold zero-filled
-                    # garbage records (code-review r5, as in OutputSet).
-                    raise IOError(
-                        f"resume: checkpoint records {n_rec} thinned "
-                        f"rows but {b}.bet is missing — restore the "
-                        f"output files or restart the chain.")
                 else:
+                    # resume + missing .bet already raised above, on
+                    # every process, before the barrier.
                     HistoryWriter(b + ".bet", data.m_total, "f8")
                     HistoryWriter(b + ".cpn", data.m_total, "i4")
         _sync_processes("outputs-create")

@@ -72,8 +72,12 @@ def _predict_sums_jit(bed_p, na, y_planes, dtype):
 
 
 def _chunked_predict_sums(bed, na, y_planes, dtype=jnp.float32, chunk=512,
-                          axis_name=None):
-    """Per-marker (xtx, xty) on uncentered dosages against y_k."""
+                          inside_jit=False):
+    """Per-marker (xtx, xty) on uncentered dosages against y_k.
+
+    ``inside_jit``: called under an enclosing jit/shard_map (skip the
+    caching jit wrapper — tracing through it would be a no-op anyway,
+    the flag just keeps the call structure explicit)."""
     m, mb = bed.shape
     n_chunks = -(-m // chunk)
     m_pad = n_chunks * chunk
@@ -82,7 +86,7 @@ def _chunked_predict_sums(bed, na, y_planes, dtype=jnp.float32, chunk=512,
     bed_p = jnp.concatenate(
         [jnp.asarray(bed),
          jnp.full((pad, mb), 0x55, jnp.uint8)]).reshape(n_chunks, chunk, mb)
-    if axis_name is not None:
+    if inside_jit:
         xtx, xty = _predict_sums_scan(bed_p, na, y_planes, dtype=dtype)
     else:
         xtx, xty = _predict_sums_jit(bed_p, na, y_planes, dtype=dtype)
@@ -98,7 +102,6 @@ def _check_bet_and_niter(bet_path: str, expect_mtot: int) -> int:
     panel (= ref bim) to frame the .bet.  Header-only reads; the chain
     itself is never loaded (the posterior-mean betas cancel out of
     every output under the 1-rank residualization)."""
-    import os as _os
     from gmrm_tpu.io.writers import history_mtot
     mtot = history_mtot(bet_path)
     if mtot != expect_mtot:
@@ -107,7 +110,14 @@ def _check_bet_and_niter(bet_path: str, expect_mtot: int) -> int:
             f"{expect_mtot} vs {mtot}"
         )
     rec_bytes = 4 + mtot * 8
-    return (_os.path.getsize(bet_path) - 4) // rec_bytes
+    size = os.path.getsize(bet_path)
+    if (size - 4) % rec_bytes != 0:
+        # Same consistency check the chain readers enforce (a crash
+        # mid-record-write leaves a ragged tail); the reference asserts
+        # this too (bayes.cpp:53).
+        raise IOError(
+            f"{bet_path}: size {size} not consistent with Mtot={mtot}")
+    return (size - 4) // rec_bytes
 
 
 def _sharded_predict_sums(bed, na, y_planes, n_devices, dtype=jnp.float32):
@@ -133,7 +143,7 @@ def _sharded_predict_sums(bed, na, y_planes, n_devices, dtype=jnp.float32):
     rep = P()
     fn = jax.jit(jax.shard_map(
         lambda bed_s, na_r, y_r: _chunked_predict_sums(
-            bed_s, na_r, y_r, dtype=dtype, axis_name=MARKER_AXIS),
+            bed_s, na_r, y_r, dtype=dtype, inside_jit=True),
         mesh=mesh,
         in_specs=(sh, rep, rep),
         out_specs=(sh, sh),
