@@ -356,7 +356,14 @@ def main():
 
     lines += ["", f"**Overall: {'PASS' if ok else 'FAIL'}**", ""]
     report = "\n".join(lines)
-    with open(os.path.join(HERE, "EQUIVALENCE.md"), "w") as fh:
+    out_path = os.path.join(HERE, "EQUIVALENCE.md")
+    # Never clobber previously recorded sections: append when the file
+    # already exists (it accumulates multi-seed / anchor / predict-parity
+    # results); a fresh file gets the full header.
+    mode = "a" if os.path.exists(out_path) else "w"
+    with open(out_path, mode) as fh:
+        if mode == "a":
+            fh.write("\n## Single-pair run\n\n")
         fh.write(report)
     print(report)
     sys.exit(0 if ok else 1)
