@@ -78,23 +78,29 @@ def _static_specs(with_cache: bool = False) -> StaticInputs:
 def make_sharded_step(mesh, *, block_size: int, use_pallas: bool = False,
                       donate: bool = True, shuffle: bool = True,
                       shared_na: bool = False, wave_size: int = 1,
-                      with_cache: bool = False):
-    """Jitted sharded step (state, static, it) -> (state, aux)."""
+                      with_cache: bool = False, sync: bool = True):
+    """Jitted sharded step (state, static, it) -> (state, aux).
+
+    ``sync=False`` compiles a TIMING-ONLY variant with the collectives
+    elided (identical path selection and per-shard compute; results are
+    wrong across shards) — see ``measure_sync_seconds``.
+    """
     fn = partial(gibbs_iteration, block_size=block_size,
                  axis_name=MARKER_AXIS, use_pallas=use_pallas,
                  shuffle=shuffle, shared_na=shared_na,
-                 wave_size=wave_size)
+                 wave_size=wave_size, elide_collectives=not sync)
     sspec, tspec = _state_specs(), _static_specs(with_cache)
     # check_vma is disabled on the Pallas path: vma tracking inside
     # interpret-mode kernel bodies rejects kernel-internal constants
     # (mixed varying/replicated operands to primitive ops); the kernels
     # annotate their own out-vma (ops/pallas_kernels.py out_vma) so the
-    # boundary stays sound.
+    # boundary stays sound.  The no-sync timing variant also skips vma
+    # checking: without the psums its outputs are genuinely unreplicated.
     sharded = jax.shard_map(
         fn, mesh=mesh,
         in_specs=(sspec, tspec, P()),
         out_specs=(sspec, P()),
-        check_vma=not use_pallas,
+        check_vma=(not use_pallas) and sync,
     )
     return jax.jit(sharded, donate_argnums=(0,) if donate else ())
 
@@ -140,6 +146,42 @@ def estimate_sync_seconds(mesh, nblocks: int, t_traits: int, mb_pad: int,
         out = fn(out * 0.5)
     jax.block_until_ready(out)
     return (time.perf_counter() - t0) / timing_iters
+
+
+def measure_sync_seconds(step_sync, step_nosync, state, static,
+                         timing_iters: int = 10):
+    """Differential IN-STEP sync measurement (the reference's in-loop
+    "sync time", bayes.cpp:549-551,653-655, measured the TPU way).
+
+    Times the real jitted sharded step against an identically-gated
+    variant compiled with the collectives elided
+    (``make_sharded_step(..., sync=False)``: same kernels, same path
+    selection, psums skipped) on device-cloned state, and attributes the
+    difference to the in-step collective cost.  Unlike
+    ``estimate_sync_seconds`` (a standalone collective chain with the
+    same shapes/cadence), this includes whatever overlap XLA actually
+    achieves between the psums and the surrounding compute — it is the
+    number a user should compare against the reference's printed sync
+    split.  Returns ``(sync_seconds, with_seconds, without_seconds)``.
+
+    Both steps may donate their inputs: they are fed device-side clones
+    and each chain evolves its own clone (state trajectories differ —
+    timing-only).
+    """
+    def run(step):
+        s = jax.tree.map(jnp.copy, state)
+        it = jnp.asarray(1, jnp.int32)
+        s, _ = step(s, static, it)          # compile + warm
+        jax.block_until_ready(s.sigmae)
+        t0 = time.perf_counter()
+        for k in range(timing_iters):
+            s, _ = step(s, static, jnp.asarray(2 + k, jnp.int32))
+        jax.block_until_ready(s.sigmae)
+        return (time.perf_counter() - t0) / timing_iters
+
+    t_with = run(step_sync)
+    t_without = run(step_nosync)
+    return max(0.0, t_with - t_without), t_with, t_without
 
 
 class ShardLayout:
@@ -510,6 +552,35 @@ def _load_sharded_checkpoint(files, layout, local_ids, data, dtype,
     return rep, sharded_local, it, beta_acc, n_rec
 
 
+def _local_concat(arr, local_ids, layout, axis, shards_per_id=None):
+    """Concatenate this process's addressable shards of a marker-sharded
+    global array back into the process-local layout that make_global
+    expects (local_ids order, pad rows included)."""
+    per = shards_per_id if shards_per_id is not None else layout.m_pad_shard
+    shards = {sh.index[axis].start or 0: np.asarray(sh.data)
+              for sh in arr.addressable_shards}
+    return np.concatenate([shards[i * per] for i in local_ids], axis=axis)
+
+
+def _sharded_cache_key(opt: Options, data, dtype, want_gram: bool,
+                       n_shards: int, local_ids) -> str:
+    """Content+geometry fingerprint for this PROCESS's startup artifacts
+    (the sharded analog of runner._startup_cache_key): dataset content
+    plus everything that changes the stored marker order, shard
+    membership or array shapes.  A topology change (n_shards/local_ids)
+    changes the key — stale caches can't be misread, they just miss."""
+    import hashlib
+    from gmrm_tpu.runner import hash_dataset_content
+    h = hashlib.sha256()
+    hash_dataset_content(h, opt)
+    shared_na = all(ph.nas == 0 for ph in data.phens)
+    h.update(repr((data.n, data.m_total, n_shards, tuple(local_ids),
+                   data.layout.m_pad_shard, data.mb_pad, opt.block_size,
+                   (opt.wave_size or 1) > 1, str(jnp.dtype(dtype)),
+                   shared_na, want_gram)).encode())
+    return h.hexdigest()[:32]
+
+
 def run_training_sharded(opt: Options, n_devices: int = 0,
                          verbose: bool = True) -> RunResult:
     """The --process path over a marker-sharded device mesh.
@@ -548,41 +619,63 @@ def run_training_sharded(opt: Options, n_devices: int = 0,
     na = make_global(mesh, rep, np.asarray(data.na, dtype))
     nonas = make_global(mesh, rep, np.asarray(data.nonas, dtype))
 
-    stats_fn = jax.jit(
-        jax.shard_map(
-            lambda b, nn, no: marker_stats_jax(b, nn, no, dtype=dtype,
-                                               axis_name=MARKER_AXIS),
-            mesh=mesh,
-            in_specs=(shard1, rep, rep),
-            out_specs=shard2,
-        )
-    )
-    mave, msig = stats_fn(bed, na, nonas)
-    # Zero the stats on pad rows (all-missing decode gives sb = 0 -> NaN),
-    # using a sharded validity mask assembled process-locally.
-    valid_local = np.zeros(len(local_ids) * layout.m_pad_shard, bool)
-    for k, i in enumerate(local_ids):
-        _, ln = layout.blocks[i]
-        a = k * layout.m_pad_shard
-        valid_local[a:a + ln] = True
-    valid = make_global(mesh, shard1, valid_local)
-    fix = jax.jit(
-        jax.shard_map(
-            lambda x, v: jnp.where(v[None, :], x, 0.0), mesh=mesh,
-            in_specs=(shard2, shard1), out_specs=shard2,
-        )
-    )
-    mave = fix(mave, valid)
-    msig = fix(msig, valid)
-
     use_pallas = opt.use_pallas
     shared_na = all(ph.nas == 0 for ph in data.phens)
-    if opt.cache_dir and verbose and jax.process_index() == 0:
-        # The startup cache currently covers the single-process runner
-        # (runner.build_static); sharded stats/Gram are built per shard
-        # via shard_map and are not persisted yet.
-        print("INFO   : --cache-dir is not applied by the sharded "
-              "runner (stats/Gram rebuilt per shard).")
+    want_gram = (dtype == jnp.float32 and use_pallas
+                 and opt.wave_size > 1
+                 and opt.block_size % opt.wave_size == 0)
+
+    # --- per-process on-disk startup cache (--cache-dir).  Each process
+    # persists ITS OWN shards' stats + Gram quadrants, keyed by dataset
+    # content + sharded geometry (shard layout, local ids, interleave,
+    # block size, dtype) — a topology change just misses the cache and
+    # rebuilds.  Parity with runner.build_static's single-device cache.
+    cache_path = None
+    mave = msig = None
+    gram_local_cached = None
+    if opt.cache_dir:
+        os.makedirs(opt.cache_dir, exist_ok=True)
+        key = _sharded_cache_key(opt, data, dtype, want_gram, d, local_ids)
+        cache_path = os.path.join(
+            opt.cache_dir,
+            f"startup_shard_p{jax.process_index()}_{key}.npz")
+        if os.path.exists(cache_path):
+            with np.load(cache_path) as z:
+                mave = make_global(mesh, shard2, z["mave"], dtype)
+                msig = make_global(mesh, shard2, z["msig"], dtype)
+                if "gram" in z.files:
+                    gram_local_cached = np.asarray(z["gram"])
+            if verbose and jax.process_index() == 0:
+                print(f"INFO   : warm sharded startup from {cache_path}")
+
+    stats_cold = mave is None
+    if stats_cold:
+        stats_fn = jax.jit(
+            jax.shard_map(
+                lambda b, nn, no: marker_stats_jax(b, nn, no, dtype=dtype,
+                                                   axis_name=MARKER_AXIS),
+                mesh=mesh,
+                in_specs=(shard1, rep, rep),
+                out_specs=shard2,
+            )
+        )
+        mave, msig = stats_fn(bed, na, nonas)
+        # Zero the stats on pad rows (all-missing decode gives sb = 0 ->
+        # NaN), using a sharded validity mask assembled process-locally.
+        valid_local = np.zeros(len(local_ids) * layout.m_pad_shard, bool)
+        for k, i in enumerate(local_ids):
+            _, ln = layout.blocks[i]
+            a = k * layout.m_pad_shard
+            valid_local[a:a + ln] = True
+        valid = make_global(mesh, shard1, valid_local)
+        fix = jax.jit(
+            jax.shard_map(
+                lambda x, v: jnp.where(v[None, :], x, 0.0), mesh=mesh,
+                in_specs=(shard2, shard1), out_specs=shard2,
+            )
+        )
+        mave = fix(mave, valid)
+        msig = fix(msig, valid)
 
     # Per-shard Gram cache (VERDICT r3 item 1): the sharded sweep's
     # per-block Gram is iteration-invariant under the block-preserving
@@ -591,18 +684,34 @@ def run_training_sharded(opt: Options, n_devices: int = 0,
     # (gibbs.marker_sweep) consumes them — the per-block psum(delta eps)
     # cadence is unchanged.
     gram_cache = None
-    if (dtype == jnp.float32 and use_pallas and opt.wave_size > 1
-            and opt.block_size % opt.wave_size == 0):
-        from gmrm_tpu.ops.sweep_kernel import build_gram_cache
-        cache_fn = jax.jit(
-            jax.shard_map(
-                partial(build_gram_cache, block_size=opt.block_size,
-                        shared_na=shared_na),
-                mesh=mesh, in_specs=(shard1, rep),
-                out_specs=P(MARKER_AXIS), check_vma=False,
+    if want_gram:
+        if gram_local_cached is not None:
+            gram_cache = make_global(mesh, P(MARKER_AXIS),
+                                     gram_local_cached, np.float32)
+        else:
+            from gmrm_tpu.ops.sweep_kernel import build_gram_cache
+            cache_fn = jax.jit(
+                jax.shard_map(
+                    partial(build_gram_cache, block_size=opt.block_size,
+                            shared_na=shared_na),
+                    mesh=mesh, in_specs=(shard1, rep),
+                    out_specs=P(MARKER_AXIS), check_vma=False,
+                )
             )
-        )
-        gram_cache = cache_fn(bed, na)
+            gram_cache = cache_fn(bed, na)
+
+    if cache_path is not None and stats_cold:
+        arrays = {
+            "mave": _local_concat(mave, local_ids, layout, axis=1),
+            "msig": _local_concat(msig, local_ids, layout, axis=1),
+        }
+        if gram_cache is not None and gram_local_cached is None:
+            arrays["gram"] = _local_concat(
+                gram_cache, local_ids, layout, axis=0,
+                shards_per_id=layout.m_pad_shard // opt.block_size)
+        tmp = f"{cache_path}.tmp.{os.getpid()}.npz"
+        np.savez(tmp, **arrays)
+        os.replace(tmp, cache_path)
 
     static = StaticInputs(
         gram_cache=gram_cache,
@@ -705,15 +814,35 @@ def run_training_sharded(opt: Options, n_devices: int = 0,
     result = RunResult(state=state)
 
     # The reference's per-iteration "with sync time = ..." observable
-    # (bayes.cpp:653-655): measured once from the standalone collective
-    # chain (same shapes/cadence as the sweep's psums) and printed with
-    # each iteration's total at verbosity >= 1.
+    # (bayes.cpp:653-655).  Two measurement modes:
+    #   verbosity 1 — standalone collective chain with the sweep's exact
+    #     psum shapes/cadence (cheap; no extra step compile);
+    #   verbosity >= 2 — differential IN-STEP measurement: the real step
+    #     vs an identically-gated no-collectives compile on cloned state
+    #     (measure_sync_seconds) — the true in-loop sync split, directly
+    #     comparable to the reference's printed number.
     sync_est = None
-    if verbose and opt.verbosity_level(1):
+    sync_how = ""
+    if verbose and opt.verbosity_level(2):
+        step_nosync = make_sharded_step(
+            mesh, block_size=opt.block_size, use_pallas=use_pallas,
+            shuffle=opt.shuffle_markers, shared_na=shared_na,
+            wave_size=opt.wave_size, with_cache=gram_cache is not None,
+            sync=False)
+        sync_est, t_w, t_wo = measure_sync_seconds(
+            step, step_nosync, state, static)
+        sync_how = "in-step differential"
+        if jax.process_index() == 0:
+            print(f"INFO   : measured in-step sync cost = "
+                  f"{sync_est * 1000:.3f} ms/iteration "
+                  f"({t_w * 1000:.3f} with collectives, "
+                  f"{t_wo * 1000:.3f} elided)")
+    elif verbose and opt.verbosity_level(1):
         nblocks_sync = layout.m_pad_shard // opt.block_size
         g, k = opt.cva.shape
         sync_est = estimate_sync_seconds(
             mesh, nblocks_sync, len(data.phens), data.mb_pad, g, k, dtype)
+        sync_how = "standalone collective chain"
         if jax.process_index() == 0:
             print(f"INFO   : measured collective sync cost = "
                   f"{sync_est * 1000:.3f} ms/iteration "
@@ -767,7 +896,7 @@ def run_training_sharded(opt: Options, n_devices: int = 0,
             if jax.process_index() == 0:
                 print(f"RESULT : It {it}  total proc time = {dt:7.3f} sec, "
                       f"with sync time = {sync_est:7.3f} sec (measured "
-                      f"collective chain)")
+                      f"{sync_how})")
         else:
             dt = time.perf_counter() - t0
         result.iter_seconds.append(dt)

@@ -169,6 +169,26 @@ def _stats_jit(dtype):
     return jax.jit(functools.partial(marker_stats_jax, dtype=dtype))
 
 
+def hash_dataset_content(h, opt: Options) -> None:
+    """Feed the dataset-content part of a startup-cache key into ``h``.
+
+    Bed content is fingerprinted by (size, mtime, first+last MiB) — a
+    full hash of a UKB-scale bed costs minutes, defeating the cache;
+    phen files are small and hashed in full (they set the NA masks the
+    stats/Gram depend on).  Shared by the single-device and sharded
+    cache keys."""
+    st = os.stat(opt.bed_file)
+    h.update(f"bed:{st.st_size}:{st.st_mtime_ns};".encode())
+    with open(opt.bed_file, "rb") as fh:
+        h.update(fh.read(1 << 20))
+        if st.st_size > (1 << 20):
+            fh.seek(max(st.st_size - (1 << 20), 0))
+            h.update(fh.read(1 << 20))
+    for fp in opt.phen_files:
+        with open(fp, "rb") as fh:
+            h.update(fh.read())
+
+
 def _startup_cache_key(data: LoadedData, opt: Options, dtype,
                        want_gram: bool) -> str:
     """Content+geometry fingerprint for the persisted startup artifacts.
@@ -181,16 +201,7 @@ def _startup_cache_key(data: LoadedData, opt: Options, dtype,
     size, interleave, dtype, NT axis."""
     import hashlib
     h = hashlib.sha256()
-    st = os.stat(opt.bed_file)
-    h.update(f"bed:{st.st_size}:{st.st_mtime_ns};".encode())
-    with open(opt.bed_file, "rb") as fh:
-        h.update(fh.read(1 << 20))
-        if st.st_size > (1 << 20):
-            fh.seek(max(st.st_size - (1 << 20), 0))
-            h.update(fh.read(1 << 20))
-    for fp in opt.phen_files:
-        with open(fp, "rb") as fh:
-            h.update(fh.read())
+    hash_dataset_content(h, opt)
     shared_na = all(ph.nas == 0 for ph in data.phens)
     h.update(repr((data.n, data.m_local, data.s_local, data.m_pad,
                    data.mb_pad, opt.block_size,

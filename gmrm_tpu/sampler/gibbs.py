@@ -74,10 +74,17 @@ def marker_sweep(
     block_perm=None,
     gram_cached=None,
     fused=None,
+    elide_collectives: bool = False,
 ):
     """The full marker sweep (reference loop bayes.cpp:375-553) over Gram
     blocks, with all randomness injected — directly comparable to the NumPy
     serial oracle.  Returns (eps, betas, comp, acum, cass_local).
+
+    ``elide_collectives`` keeps every path-selection gate on ``axis_name``
+    but skips the actual psums — a TIMING-ONLY variant whose results are
+    wrong across shards (each device sweeps on its local deltas alone).
+    Used by ``parallel.runner.measure_sync_seconds`` to measure the true
+    in-step collective cost differentially.
 
     ``fused`` (None = auto: on under ``axis_name``) selects the fused
     per-block kernel for the non-mega sweep: ONE pallas_call per block
@@ -109,6 +116,7 @@ def marker_sweep(
     nonas = static.nonas.astype(eps.dtype)
     n_total = static.n_total.astype(eps.dtype)
     dtype = eps.dtype
+    sync_axis = None if elide_collectives else axis_name
     nblocks, B = blocks.shape
     T = betas.shape[0]
     m_pad = nblocks * B
@@ -325,7 +333,7 @@ def marker_sweep(
                 jax.lax.dynamic_slice(static.group_of, (bidx * B,), (B,)),
                 u_blk, z_blk, sigmag, lc_t, rd_t, sqb_t, i2se, nonas_col,
                 wave=wave_size, shared_na=shared_na, axis_name=axis_name)
-            deps = _psum(deps, axis_name)
+            deps = _psum(deps, sync_axis)
             eps = eps + deps.astype(dtype)
             betas_c = jax.lax.dynamic_update_slice(
                 betas_c, bet_b.astype(betas_c.dtype), (0, bidx * B))
@@ -369,7 +377,7 @@ def marker_sweep(
 
         deps = upd_fn(bed_blk, msig_blk * res.dbeta_eff, na, mave_blk,
                       dtype=dtype)
-        deps = _psum(deps, axis_name)
+        deps = _psum(deps, sync_axis)
         eps = eps + deps
 
         cass = cass + res.cass_inc
@@ -425,6 +433,7 @@ def gibbs_iteration(
     megakernel=None,
     gram_cached=None,
     fused=None,
+    elide_collectives: bool = False,
 ):
     T, _, mb = state.eps.shape
     m_pad = state.betas.shape[1]
@@ -514,14 +523,16 @@ def gibbs_iteration(
         wave_size=wave_size, pallas_gram=pallas_gram, pallas_upd=pallas_upd,
         megakernel=megakernel, block_perm=block_perm,
         gram_cached=gram_cached, fused=fused,
+        elide_collectives=elide_collectives,
     )
 
     # --- 4. hyperparameter block -----------------------------------------
     beta_sqn_local = jax.ops.segment_sum(
         (betas * betas).T, static.group_of, num_segments=G
     ).T                                                    # (T, G)
-    beta_sqn = _psum(beta_sqn_local, axis_name)
-    cass = _psum(cass_local, axis_name)
+    sync_axis = None if elide_collectives else axis_name
+    beta_sqn = _psum(beta_sqn_local, sync_axis)
+    cass = _psum(cass_local, sync_axis)
 
     mtotgrp = static.mtotgrp.astype(dtype)                 # (G,)
     m0 = jnp.where(static.mtotgrp > 0,

@@ -259,6 +259,43 @@ def test_startup_cache_reuse(sim_small, tmp_path):
     assert len(os.listdir(cache)) == 2
 
 
+def test_sharded_startup_cache_reuse(sim_small, tmp_path):
+    """The sharded runner's --cache-dir: each process persists its own
+    shards' stats + Gram quadrants and a warm start produces
+    byte-identical artifacts; a topology change just misses the key."""
+    import jax
+    import pytest
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from gmrm_tpu.parallel.runner import run_training_sharded
+
+    cache = str(tmp_path / "scache")
+    kw = dict(use_pallas=True, wave_size=4, block_size=16,
+              cache_dir=cache)
+
+    cold_dir = str(tmp_path / "scold")
+    run_training_sharded(_opts(sim_small, cold_dir, 8, **kw),
+                         verbose=False)
+    entries = os.listdir(cache)
+    assert len(entries) == 1 and entries[0].startswith("startup_shard_p0_")
+    with np.load(os.path.join(cache, entries[0])) as z:
+        assert {"mave", "msig", "gram"} <= set(z.files)
+
+    warm_dir = str(tmp_path / "swarm")
+    run_training_sharded(_opts(sim_small, warm_dir, 8, **kw),
+                         verbose=False)
+    assert len(os.listdir(cache)) == 1           # reused, not rebuilt
+    for suf in (".bet", ".cpn", ".csv"):
+        a = open(os.path.join(cold_dir, "test1" + suf), "rb").read()
+        b = open(os.path.join(warm_dir, "test1" + suf), "rb").read()
+        assert a == b, f"{suf}: sharded warm-start run differs"
+
+    # different shard topology -> different key -> second entry
+    run_training_sharded(_opts(sim_small, str(tmp_path / "s4"), 8, **kw),
+                         n_devices=4, verbose=False)
+    assert len(os.listdir(cache)) == 2
+
+
 def test_sharded_checkpoint_era_fallback(sim_small, tmp_path):
     """A crash mid-checkpoint can leave the newest save era incomplete
     (some processes ahead of others); the loader must fall back to the

@@ -308,6 +308,28 @@ def test_verbosity_gates_detail_and_sync_split(sim_tiny, tmp_path, capsys):
     assert "measured collective sync cost" in outs
 
 
+def test_sync_split_in_step_differential(sim_tiny, tmp_path, capsys):
+    """verbosity >= 2 on the sharded runner measures the sync split
+    differentially IN-STEP (VERDICT r4 weak item 6): the real jitted step
+    vs an identically-gated compile with the collectives elided, on
+    cloned state.  The measurement must not perturb the chain."""
+    from gmrm_tpu.parallel.runner import run_training_sharded
+
+    o1 = _opts(sim_tiny, str(tmp_path / "sd1"), iterations=3, block_size=8,
+               verbosity=2, output_thin_rate=1)
+    r1 = run_training_sharded(o1, verbose=True)
+    outs = capsys.readouterr().out
+    assert "measured in-step sync cost" in outs
+    assert "in-step differential" in outs
+
+    o2 = _opts(sim_tiny, str(tmp_path / "sd2"), iterations=3, block_size=8,
+               verbosity=0, output_thin_rate=1)
+    r2 = run_training_sharded(o2, verbose=False)
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(r1.state.sigmag)),
+        np.asarray(jax.device_get(r2.state.sigmag)))
+
+
 @needs_8
 def test_sharded_cached_gram_matches_recompute(sim_small):
     """The per-shard Gram cache (VERDICT r3 item 1) under shard_map: the
