@@ -7,11 +7,13 @@ Fixed global problem, two process layouts of the SAME 8-device mesh:
   2 processes x 4 devices (cross-process gloo ring — the DCN stand-in)
 
 Each layout runs the sharded trainer twice (first run pays jit compile,
-second is timed) and reports steady-state seconds/iteration plus the
-measured collective-chain sync estimate (parallel/runner.py
-estimate_sync_seconds) against the psum volume model from SCALE.md:
-per iteration `nblocks_shard x T x 4 x mb_pad x 4` bytes through the
-allreduce.
+second is timed) and reports steady-state seconds/iteration plus TWO
+sync measurements: the collective-chain estimate (parallel/runner.py
+estimate_sync_seconds; upper bound, zero compute overlap) and the
+in-step differential (measure_sync_seconds via a verbosity-2 run: real
+step vs a no-collectives compile — the true in-loop split), against
+the psum volume model from SCALE.md: per iteration
+`nblocks_shard x T x 4 x mb_pad x 4` bytes through the allreduce.
 
 These numbers are CPU-RELATIVE (virtual devices share 2 cores; gloo runs
 over loopback): they evidence the protocol's scaling shape — sync share
@@ -70,16 +72,28 @@ from gmrm_tpu.parallel.mesh import make_marker_mesh
 phens = sorted(os.path.join(data_dir, f) for f in os.listdir(data_dir)
                if f.endswith(".phen"))
 
-def opts(iters):
+def opts(iters, verbosity=0):
     return Options(
         bed_file=data_dir + "/test.bed", dim_file=data_dir + "/test.dim",
         phen_files=phens, group_index_file=data_dir + "/test.gri",
         group_mixture_file=data_dir + "/test.grm",
         iterations=iters, seed=42, block_size=%(block)d,
-        output_thin_rate=10 ** 9)
+        output_thin_rate=10 ** 9, verbosity=verbosity)
 
 run_training_sharded(opts(2), verbose=False)       # compile
 res = run_training_sharded(opts(iters), verbose=False)
+# In-step differential sync split: a verbosity-2 run compiles the
+# no-collectives twin and prints the with/elided times; parse them.
+import contextlib, io, re
+buf = io.StringIO()
+with contextlib.redirect_stdout(buf):
+    run_training_sharded(opts(3, verbosity=2), verbose=True)
+mt = re.search(r"in-step sync cost = ([0-9.]+) ms/iteration "
+               r"\(([0-9.]+) with collectives, ([0-9.]+) elided",
+               buf.getvalue())
+instep = {k: float(mt.group(i)) / 1000 for i, k in
+          ((1, "sync_instep_s"), (2, "instep_with_s"),
+           (3, "instep_without_s"))} if mt else {}
 import jax.numpy as jnp
 mesh = make_marker_mesh(0)
 mm = -(-%(m)d // 8)                       # max markers per shard
@@ -90,7 +104,7 @@ sync_s = estimate_sync_seconds(mesh, mps // %(block)d, %(traits)d, mb_pad,
 if pid == 0:
     print("RESULT " + json.dumps({
         "nprocs": nprocs, "iter_s": res.chain_seconds / res.iters_run,
-        "sync_s": sync_s,
+        "sync_s": sync_s, **instep,
         "psum_bytes_per_iter": (mps // %(block)d) * %(traits)d * 4
                                 * mb_pad * 4,
     }), flush=True)
