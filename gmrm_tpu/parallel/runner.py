@@ -115,9 +115,13 @@ def estimate_sync_seconds(mesh, nblocks: int, t_traits: int, mb_pad: int,
     tiny hyper-block psums (beta^2 per group, cass) — the TPU analog of
     the reference's per-marker Allgatherv + per-iteration Allreduce
     whose cost it prints as "sync time" (bayes.cpp:549-551,653-655).
-    Inside one jitted step the psum cost cannot be timed separately, so
-    this runs the exact collective sequence standalone (same shapes,
-    same serial dependence) and returns seconds per iteration.
+    This runs the exact collective sequence standalone (same shapes,
+    same serial dependence) and returns seconds per iteration — an
+    UPPER BOUND: a bare psum chain has no compute to overlap, so it can
+    overstate the in-loop cost substantially (SCALE.md measures 3.5x at
+    1x8 in-process).  ``measure_sync_seconds`` gives the true in-step
+    split at the price of compiling a second step; this estimate stays
+    the verbosity-1 default because it needs no extra compile.
     """
     import jax.random as jr
 
