@@ -643,7 +643,22 @@ def run_training_sharded(opt: Options, n_devices: int = 0,
         cache_path = os.path.join(
             opt.cache_dir,
             f"startup_shard_p{jax.process_index()}_{key}.npz")
-        if os.path.exists(cache_path):
+        # The warm/cold decision must be GLOBALLY AGREED: the cold path
+        # runs collective shard_map builds that every process must enter
+        # (multi-controller SPMD — a process skipping them deadlocks the
+        # others), so all processes go warm only if ALL hold their file.
+        local_warm = os.path.exists(cache_path)
+        all_warm = local_warm
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            flags = multihost_utils.process_allgather(
+                np.asarray([local_warm]))
+            all_warm = bool(np.all(flags))
+            if local_warm and not all_warm:
+                print(f"INFO   : process {jax.process_index()} has a warm "
+                      "startup cache but another process is cold — "
+                      "rebuilding everywhere.")
+        if all_warm:
             with np.load(cache_path) as z:
                 mave = make_global(mesh, shard2, z["mave"], dtype)
                 msig = make_global(mesh, shard2, z["msig"], dtype)

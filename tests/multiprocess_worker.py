@@ -9,7 +9,7 @@ only on the global mesh size and seed, not on the process layout, so they
 must be identical.
 
 Usage: python multiprocess_worker.py <pid> <nprocs> <port> <data> <out> \
-           [train|predict]
+           [train|predict|resume:<iters>:<ckpt_every>] [cache_dir]
 """
 
 import os
@@ -20,6 +20,7 @@ def main():
     pid, nprocs, port = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
     data_dir, out_dir = sys.argv[4], sys.argv[5]
     mode = sys.argv[6] if len(sys.argv) > 6 else "train"
+    cache_dir = sys.argv[7] if len(sys.argv) > 7 else None
 
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
     os.environ["JAX_PLATFORMS"] = "cpu"
@@ -70,6 +71,7 @@ def main():
             group_mixture_file=f"{data_dir}/test.grm",
             iterations=iters, seed=42, out_dir=out_dir, block_size=16,
             output_thin_rate=2, checkpoint_every=ckpt_every, resume=resume,
+            cache_dir=cache_dir,
             # The production pod configuration: wave mode + Pallas
             # (interpret on CPU) engages the per-shard Gram cache and the
             # fused per-block kernel across the REAL process boundary.

@@ -219,6 +219,56 @@ def test_cross_topology_resume(mp_dataset, tmp_path):
         assert (cpn_a != cpn_b).mean() < 0.01
 
 
+def test_two_process_startup_cache(mp_dataset, tmp_path):
+    """Multi-process --cache-dir: a cold run saves one file per process;
+    a warm run reuses them with byte-identical artifacts; a MIXED
+    warm/cold state (one process's file deleted) must agree globally and
+    rebuild everywhere — a process skipping the collective stats/Gram
+    builds would deadlock the other (multi-controller SPMD)."""
+    cache = str(tmp_path / "mpcache")
+    worker = os.path.join(HERE, "multiprocess_worker.py")
+
+    def run2(out):
+        port = _free_port()
+        procs = [
+            subprocess.Popen(
+                [sys.executable, worker, str(pid), "2", str(port),
+                 mp_dataset, out, "train", cache],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+            for pid in range(2)
+        ]
+        outs = [p.communicate(timeout=900)[0] for p in procs]
+        for p, txt in zip(procs, outs):
+            assert p.returncode == 0, txt[-3000:]
+
+    out1 = str(tmp_path / "cc1")
+    run2(out1)
+    files = sorted(os.listdir(cache))
+    assert len(files) == 2
+    assert any(f.startswith("startup_shard_p0_") for f in files)
+    assert any(f.startswith("startup_shard_p1_") for f in files)
+
+    out2 = str(tmp_path / "cc2")
+    run2(out2)
+    assert sorted(os.listdir(cache)) == files      # reused, not rebuilt
+    for t in (1, 2):
+        for suf in (".bet", ".cpn", ".csv"):
+            a = open(f"{out1}/test{t}{suf}", "rb").read()
+            b = open(f"{out2}/test{t}{suf}", "rb").read()
+            assert a == b, f"test{t}{suf}: warm 2-process run differs"
+
+    # Mixed warm/cold: drop process 1's file; the next run must NOT
+    # deadlock, and must rebuild (and re-save) everywhere.
+    p1 = next(f for f in files if f.startswith("startup_shard_p1_"))
+    os.remove(os.path.join(cache, p1))
+    out3 = str(tmp_path / "cc3")
+    run2(out3)
+    assert len(os.listdir(cache)) == 2
+    a = open(f"{out1}/test1.bet", "rb").read()
+    b = open(f"{out3}/test1.bet", "rb").read()
+    assert a == b, "mixed-state rebuild run differs"
+
+
 @pytest.mark.skipif(not os.environ.get("GMRM_SLOW"),
                     reason="slow UKB-shaped rehearsal; set GMRM_SLOW=1")
 def test_ukb_rehearsal_8proc():
